@@ -1,0 +1,126 @@
+"""MIL aggregation heads: AB-MIL gated/ungated attention pooling.
+
+Mirrors reference modules/datten.py:5-101.  TPU adaptation: bags arrive
+padded to a static bucket length, so the softmax over instances takes an
+optional boolean mask selecting the true tokens (the reference pools over
+exactly the L true tokens because region attention unpads first,
+rmsa.py:227-228 -- a masked softmax is numerically identical).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils.inits import xavier_normal, zeros
+
+
+def _act(name: str):
+    return {"relu": nn.relu,
+            "gelu": lambda x: nn.gelu(x, approximate=False),
+            "tanh": jnp.tanh}[name]
+
+
+def masked_softmax(logits: jnp.ndarray, mask: Optional[jnp.ndarray],
+                   axis: int = -1) -> jnp.ndarray:
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    return nn.softmax(logits, axis=axis)
+
+
+class Attention(nn.Module):
+    """2-layer attention scorer L=512 -> D=128 -> K=1 (datten.py:5-38)."""
+
+    input_dim: int = 512
+    act: str = "relu"
+    bias: bool = False
+    dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, no_norm: bool = False,
+                 deterministic: bool = True):
+        a = nn.Dense(128, use_bias=self.bias, kernel_init=xavier_normal,
+                     bias_init=zeros, name="fc1")(x)
+        a = _act(self.act)(a)
+        if self.dropout:
+            a = nn.Dropout(0.25)(a, deterministic=deterministic)
+        a = nn.Dense(1, use_bias=self.bias, kernel_init=xavier_normal,
+                     bias_init=zeros, name="fc2")(a)
+        a = jnp.swapaxes(a, -1, -2)          # (B, 1, N)
+        a_ori = a
+        a = masked_softmax(a, None if mask is None else mask[:, None, :])
+        out = a @ x                           # (B, 1, C)
+        return out, (a_ori if no_norm else a)
+
+
+class AttentionGated(nn.Module):
+    """Gated attention scorer (datten.py:40-83)."""
+
+    input_dim: int = 512
+    act: str = "relu"
+    bias: bool = False
+    dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, no_norm: bool = False,
+                 deterministic: bool = True):
+        a = nn.Dense(128, use_bias=self.bias, kernel_init=xavier_normal,
+                     bias_init=zeros, name="attention_a")(x)
+        a = _act(self.act)(a)
+        b = nn.Dense(128, use_bias=self.bias, kernel_init=xavier_normal,
+                     bias_init=zeros, name="attention_b")(x)
+        b = nn.sigmoid(b)
+        if self.dropout:
+            a = nn.Dropout(0.25)(a, deterministic=deterministic)
+            b = nn.Dropout(0.25)(b, deterministic=deterministic)
+        g = nn.Dense(1, use_bias=self.bias, kernel_init=xavier_normal,
+                     bias_init=zeros, name="attention_c")(a * b)
+        g = jnp.swapaxes(g, -1, -2)
+        g_ori = g
+        g = masked_softmax(g, None if mask is None else mask[:, None, :])
+        out = g @ x
+        return out, (g_ori if no_norm else g)
+
+
+class DAttention(nn.Module):
+    """Dispatch wrapper (datten.py:85-101): returns pooled (B, C)."""
+
+    input_dim: int = 512
+    act: str = "relu"
+    gated: bool = False
+    bias: bool = False
+    dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, return_attn: bool = False,
+                 no_norm: bool = False, deterministic: bool = True):
+        cls = AttentionGated if self.gated else Attention
+        out, attn = cls(self.input_dim, self.act, self.bias, self.dropout,
+                        name="attention")(x, mask, no_norm, deterministic)
+        out = jnp.squeeze(out, axis=1)
+        if return_attn:
+            return out, jnp.squeeze(attn, axis=1)
+        return out
+
+
+class MeanPool(nn.Module):
+    """Masked mean over instances (AdaptiveAvgPool1d(1) equivalent,
+    reference modules/rrt.py:221)."""
+
+    @nn.compact
+    def __call__(self, x, mask=None, **_):
+        if mask is None:
+            return jnp.mean(x, axis=1)
+        m = mask[..., None].astype(x.dtype)
+        return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+class MaxPool(nn.Module):
+    """Masked max over instances."""
+
+    @nn.compact
+    def __call__(self, x, mask=None, **_):
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, jnp.finfo(x.dtype).min)
+        return jnp.max(x, axis=1)

@@ -1,0 +1,427 @@
+"""RRT: regional re-embedding transformer (the heart of the framework).
+
+TPU-native re-design of reference modules/rmsa.py + modules/rrt.py.
+
+Design notes (vs. the PyTorch reference):
+
+* **Static shapes / exact bucketing.** The reference re-pads every bag of
+  true length L to an H x W square grid with H = W = ceil(sqrt(L)) rounded up
+  to a multiple of `region_num`, pads with zeros that *attend* (not masked),
+  and slices the pad off after each attention (rmsa.py:175-230).  Under XLA
+  we instead carry the bag at a static bucket length `x.shape[1]` plus a
+  boolean `mask` of true tokens, pass the true length `length` statically,
+  and have every layer slice/zero-extend to its own reference-exact geometry.
+  Because every term added to the residual stream is masked to zero on pad
+  rows, the stream equals the reference's on real rows *exactly* and is zero
+  elsewhere (the LayerNorm beta that would leak onto pad rows is masked
+  before attention, reproducing "pad rows are zeros post-norm").
+
+* **One fused region-batched attention.** All `region_num**2` regions are a
+  single batched attention of shape (B*nR, P, P) -- one big MXU-friendly
+  einsum instead of the reference's many small matmuls.  The EPEG depthwise
+  (k,1) conv on the logit map runs per head along the query axis
+  (rmsa.py:83,106-108).  A Pallas kernel (ops/pallas/region_attn.py) fuses
+  logits+conv+softmax+AV for the hot configuration.
+
+* **CR-MSA is the only cross-region op** (rmsa.py:232-337): each region is
+  compressed to `crmsa_k` representative tokens, one tiny MHSA runs across
+  regions, and results are redistributed.  Under sequence sharding this is
+  the single collective boundary (parallel/seqshard.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import (CRMSAConfig, InnerAttentionConfig, PoolConfig,
+                      PosEmbedConfig, RMSAConfig, RRTEncoderConfig,
+                      RRTMILConfig, TransLayerConfig)
+from ..ops.epeg import depthwise_conv2d_nchw, epeg_logit_conv
+from ..ops.regions import grid_geometry, region_partition, region_reverse
+from ..utils.inits import crmsa_phi_init, xavier_normal, zeros
+from .nystrom import NystromAttention
+from .pool import DAttention, MeanPool, masked_softmax
+from .posemb import APE, PEG, PPEG, SINCOS
+
+
+def _fit_length(x: jnp.ndarray, target: int) -> jnp.ndarray:
+    """Static slice or zero-pad the token axis of (B, N, C) to `target`."""
+    n = x.shape[1]
+    if n == target:
+        return x
+    if n > target:
+        return x[:, :target]
+    return jnp.pad(x, ((0, 0), (0, target - n), (0, 0)))
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath, reference rrt.py:102)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """FFN block (reference rrt.py:25-41)."""
+
+    hidden: int
+    out: int
+    act: str = "gelu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = ((lambda v: nn.gelu(v, approximate=False))
+               if self.act == "gelu" else nn.relu)
+        x = nn.Dense(self.hidden, kernel_init=xavier_normal, bias_init=zeros,
+                     name="fc1")(x)
+        x = act(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, kernel_init=xavier_normal, bias_init=zeros,
+                     name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class InnerAttention(nn.Module):
+    """Scaled-dot-product MHSA over one region's tokens, with EPEG
+    (reference modules/rmsa.py:56-134).
+
+    Input: (B_, N, C) where B_ = batch * num_regions.  The EPEG variants:
+      - 'attn' (default): depthwise (k,1) conv over the logit map, added to
+        the raw logits pre-softmax (rmsa.py:106-108).
+      - 'value_bf'/'value_af': depthwise conv on the value/output image
+        (rmsa.py:114-129); requires N to be a perfect square.
+    """
+
+    cfg: InnerAttentionConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_attn: bool = False):
+        cfg = self.cfg
+        b_, n, c = x.shape
+        h, hd = cfg.num_heads, cfg.resolved_head_dim
+
+        qkv = nn.Dense(3 * h * hd, use_bias=cfg.qkv_bias,
+                       kernel_init=xavier_normal, bias_init=zeros,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]          # (B_, h, N, hd)
+
+        q = q * cfg.scale
+        attn = jnp.einsum("bhid,bhjd->bhij", q, k)  # raw logits (B_, h, N, N)
+
+        ep = cfg.epeg
+        if ep.enabled and ep.kind == "attn":
+            kh, kw = (ep.k, ep.k) if ep.two_d else (ep.k, 1)
+            kernel = self.param("pe_kernel", xavier_normal, (kh, kw, 1, h))
+            bias = self.param("pe_bias", zeros, (h,)) if ep.bias else None
+            attn = attn + epeg_logit_conv(attn, kernel, bias, ep.k, ep.two_d)
+
+        attn = nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(cfg.attn_dropout)(attn, deterministic=deterministic)
+
+        if ep.enabled and ep.kind == "value_bf":
+            v = v + self._value_pe(v, n)
+
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
+
+        if ep.enabled and ep.kind == "value_af":
+            pe = self._value_pe(v, n, flat=True)
+            out = out + pe
+
+        out = nn.Dense(cfg.dim, kernel_init=xavier_normal, bias_init=zeros,
+                       name="proj")(out)
+        out = nn.Dropout(cfg.proj_dropout)(out, deterministic=deterministic)
+        if return_attn:
+            return out, attn
+        return out
+
+    def _value_pe(self, v, n, flat: bool = False):
+        """Depthwise conv on values viewed as a sqrt(N) x sqrt(N) image
+        (rmsa.py:114-129), including the reference's head/dim transpose
+        quirk in the channel reinterpretation."""
+        cfg = self.cfg
+        ep = cfg.epeg
+        h, hd = cfg.num_heads, cfg.resolved_head_dim
+        ch = h * hd
+        b_ = v.shape[0]
+        s = int(math.ceil(math.sqrt(n)))
+        if s * s != n:
+            raise ValueError("value EPEG requires square region token count")
+        kh, kw = (ep.k, ep.k) if ep.two_d else (ep.k, 1)
+        kernel = self.param("pe_kernel", xavier_normal, (kh, kw, 1, ch))
+        bias = self.param("pe_bias", zeros, (ch,)) if ep.bias else None
+        img = v.transpose(0, 3, 1, 2).reshape(b_, ch, s, s)  # (B_, hd*h, s, s)
+        pe = depthwise_conv2d_nchw(
+            img, kernel, bias,
+            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)), groups=ch)
+        if flat:
+            return jnp.swapaxes(pe.reshape(b_, ch, n), -1, -2)
+        return pe.reshape(b_, h, hd, n).transpose(0, 1, 3, 2)
+
+
+class RegionAttention(nn.Module):
+    """R-MSA: square-grid partition -> per-region MHSA -> merge
+    (reference modules/rmsa.py:152-230).
+
+    `length` is the true bag length (static); the input may be longer
+    (bucket-padded with zero rows).  Output has the input's static length,
+    zero-extended beyond this layer's reference grid.
+    """
+
+    cfg: RMSAConfig
+
+    @nn.compact
+    def __call__(self, x, length: Optional[int] = None,
+                 deterministic: bool = True):
+        b, n_in, c = x.shape
+        length = n_in if length is None else length
+        geom = grid_geometry(length, self.cfg.region)
+        rs = geom.region_size
+
+        x = _fit_length(x, geom.padded_length)
+        x = x.reshape(b, geom.grid, geom.grid, c)
+        regions = region_partition(x, rs)          # (B*nR, rs*rs, C)
+
+        if self.cfg.region_attn == "ntrans":
+            regions = NystromAttention(self.cfg.nystrom, name="attn")(
+                regions, deterministic=deterministic)
+        else:
+            regions = InnerAttention(self.cfg.attn, name="attn")(
+                regions, deterministic=deterministic)
+
+        out = region_reverse(regions, rs, geom.grid, geom.grid)  # (B, H*W, C)
+        return _fit_length(out, n_in)
+
+
+class CrossRegionAttention(nn.Module):
+    """CR-MSA: compress each region to crmsa_k representative tokens, run one
+    MHSA across regions, redistribute (reference modules/rmsa.py:232-337).
+
+    Generalized to batch > 1 (the reference only ever sees B=1): the
+    cross-region attention runs per bag with batch B*crmsa_k.
+    """
+
+    cfg: CRMSAConfig
+
+    @nn.compact
+    def __call__(self, x, length: Optional[int] = None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        b, n_in, c = x.shape
+        length = n_in if length is None else length
+        geom = grid_geometry(length, cfg.region)
+        rs = geom.region_size
+        nr = geom.num_regions
+        p = geom.tokens_per_region
+        kk = cfg.crmsa_k
+
+        x = _fit_length(x, geom.padded_length)
+        x = x.reshape(b, geom.grid, geom.grid, c)
+        regions = region_partition(x, rs).reshape(b, nr, p, c)
+
+        # phi logits: (B, nR, k, P) (rmsa.py:304-307)
+        if cfg.crmsa_mlp:
+            t = nn.Dense(c // 4, use_bias=False, kernel_init=xavier_normal,
+                         name="phi_fc1")(regions)
+            t = jnp.tanh(t)
+            logits = nn.Dense(kk, use_bias=False, kernel_init=xavier_normal,
+                              name="phi_fc2")(t)
+            logits = jnp.swapaxes(logits, -1, -2)
+        else:
+            phi = self.param("phi", crmsa_phi_init(kk), (c, kk))
+            logits = jnp.swapaxes(
+                jnp.einsum("brpc,ck->brpk", regions, phi), -1, -2)
+
+        combine = nn.softmax(logits, axis=-1)       # over tokens (rmsa.py:309)
+        dispatch = nn.softmax(logits, axis=-2)      # over k (rmsa.py:310)
+        lmin = jnp.min(logits, axis=-1, keepdims=True)
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        dispatch_mm = (logits - lmin) / (lmax - lmin + 1e-8)  # (rmsa.py:312-314)
+
+        # Compress: (B, k, nR, C) representative tokens (rmsa.py:316).
+        reps = jnp.einsum("brpc,brkp->bkrc", regions, combine)
+
+        # One MHSA across regions: batch B*k, sequence nR (rmsa.py:319-322).
+        reps = reps.reshape(b * kk, nr, c)
+        reps = InnerAttention(cfg.attn, name="attn")(
+            reps, deterministic=deterministic)
+        reps = reps.reshape(b, kk, nr, c)
+
+        # Redistribute (rmsa.py:324-325).
+        out = jnp.einsum("bkrc,brkp->brpc", reps, dispatch_mm * dispatch)
+
+        out = region_reverse(out.reshape(b * nr, p, c), rs,
+                             geom.grid, geom.grid)
+        return _fit_length(out, n_in)
+
+
+class TransLayer(nn.Module):
+    """Pre-LN block: x + DropPath(attn(LN(x))), optional FFN
+    (reference modules/rrt.py:43-131).
+
+    The mask (True = real token) is applied after each LayerNorm so that pad
+    rows enter attention as exact zeros -- reproducing the reference's
+    "pad AFTER norm with zeros" ordering -- and after each residual branch so
+    the stream stays zero on pad rows.
+    """
+
+    cfg: TransLayerConfig
+
+    @nn.compact
+    def __call__(self, x, mask=None, length: Optional[int] = None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        m = None if mask is None else mask[..., None].astype(x.dtype)
+
+        z = nn.LayerNorm(name="norm")(x)
+        if m is not None:
+            z = z * m
+        if cfg.attn_mode == "rmsa":
+            z = RegionAttention(cfg.rmsa, name="attn")(
+                z, length=length, deterministic=deterministic)
+        elif cfg.attn_mode == "crmsa":
+            z = CrossRegionAttention(cfg.crmsa, name="attn")(
+                z, length=length, deterministic=deterministic)
+        elif cfg.attn_mode == "ntrans":
+            z = NystromAttention(cfg.nystrom, name="attn")(
+                z, deterministic=deterministic)
+        else:
+            raise NotImplementedError(cfg.attn_mode)
+        if m is not None:
+            z = z * m
+        x = x + DropPath(cfg.drop_path, name="drop_path")(
+            z, deterministic=deterministic)
+
+        if cfg.ffn:
+            z = nn.LayerNorm(name="norm2")(x)
+            z = Mlp(int(cfg.dim * cfg.mlp_ratio), cfg.dim, cfg.ffn_act,
+                    cfg.dropout, name="mlp")(z, deterministic=deterministic)
+            if m is not None:
+                z = z * m
+            x = x + DropPath(cfg.drop_path, name="drop_path_ffn")(
+                z, deterministic=deterministic)
+        return x
+
+
+class RRTEncoder(nn.Module):
+    """The RRT re-embedding encoder (reference modules/rrt.py:133-202):
+    (n_layers-1) R-MSA TransLayers -> 1 CR-MSA TransLayer -> optional global
+    shortcut -> LayerNorm.  (B, N, C) -> (B, N, C)."""
+
+    cfg: RRTEncoderConfig
+
+    @nn.compact
+    def __call__(self, x, mask=None, length: Optional[int] = None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        squeeze = False
+        if x.ndim == 2:                      # (N, C) convenience (rrt.py:168)
+            x = x[None]
+            squeeze = True
+
+        length = x.shape[1] if length is None else length
+        x_shortcut = x
+
+        pos = self._pos_embed()
+        if pos is not None and cfg.pos.pos_pos == -1:
+            x = pos(x, length=length)
+            if mask is not None:
+                x = x * mask[..., None].astype(x.dtype)
+
+        for i in range(cfg.n_layers - 1):
+            if i == 1 and pos is not None and cfg.pos.pos_pos == 0:
+                x = pos(x, length=length)
+                if mask is not None:
+                    x = x * mask[..., None].astype(x.dtype)
+            x = TransLayer(cfg.rmsa_layer(), name=f"layer{i}")(
+                x, mask=mask, length=length, deterministic=deterministic)
+
+        if cfg.cr_msa:
+            x = TransLayer(cfg.crmsa_layer(), name="cr_msa")(
+                x, mask=mask, length=length, deterministic=deterministic)
+
+        if cfg.all_shortcut:                 # (rrt.py:192-193)
+            x = x + x_shortcut
+
+        x = nn.LayerNorm(name="norm")(x)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        return x[0] if squeeze else x
+
+    def _pos_embed(self):
+        p = self.cfg.pos
+        if p.kind == "ppeg":
+            return PPEG(self.cfg.dim, p.k, p.bias, p.conv_1d, name="pos_embedding")
+        if p.kind == "peg":
+            return PEG(self.cfg.dim, p.k, p.bias, p.conv_1d, name="pos_embedding")
+        if p.kind == "sincos":
+            return SINCOS(self.cfg.dim, name="pos_embedding")
+        if p.kind == "ape":
+            return APE(self.cfg.dim, name="pos_embedding")
+        return None
+
+
+class RRTMIL(nn.Module):
+    """Full model: Linear(input_dim->512)+act+dropout -> RRTEncoder ->
+    attention pooling -> classifier (reference modules/rrt.py:204-246)."""
+
+    cfg: RRTMILConfig
+
+    @nn.compact
+    def __call__(self, x, mask=None, length: Optional[int] = None,
+                 deterministic: bool = True, return_attn: bool = False,
+                 no_norm: bool = False):
+        cfg = self.cfg
+        if x.ndim == 2:
+            x = x[None]
+        length = x.shape[1] if length is None else length
+
+        x = nn.Dense(512, kernel_init=xavier_normal, bias_init=zeros,
+                     name="patch_to_emb")(x)
+        if cfg.act == "relu":
+            x = nn.relu(x)
+        elif cfg.act == "gelu":
+            x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        if mask is not None:
+            # Bucket-pad rows must be exact zeros entering the encoder: the
+            # reference embeds only the L true tokens and pads with zeros
+            # inside the encoder (rmsa.py:199-200).
+            x = x * mask[..., None].astype(x.dtype)
+
+        x = RRTEncoder(cfg.encoder, name="online_encoder")(
+            x, mask=mask, length=length, deterministic=deterministic)
+
+        if cfg.pool.kind == "attn":
+            pool = DAttention(cfg.encoder.dim, cfg.pool.act, cfg.pool.gated,
+                              cfg.pool.bias, cfg.pool.dropout, name="pool_fn")
+            if return_attn:
+                feat, attn = pool(x, mask=mask, return_attn=True,
+                                  no_norm=no_norm, deterministic=deterministic)
+            else:
+                feat = pool(x, mask=mask, deterministic=deterministic)
+        else:
+            feat = MeanPool(name="pool_fn")(x, mask=mask)
+            attn = None
+
+        logits = nn.Dense(cfg.n_classes, kernel_init=xavier_normal,
+                          bias_init=zeros, name="predictor")(feat)
+        if return_attn:
+            return logits, attn
+        return logits
