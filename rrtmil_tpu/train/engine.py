@@ -1,0 +1,240 @@
+"""Training/eval engine: jitted steps over bucketed bags.
+
+Replaces reference main.py:415-612 (train_loop / val_loop / test) with a
+TPU-native design:
+
+* one jitted `train_step` / `eval_step` per bucket shape (XLA retraces per
+  distinct (batch, data_length) -- bounded by the bucket scheme,
+  data/bucketing.py);
+* the LR schedule index lives in host code (torch scheduler semantics,
+  per-epoch or per-iteration via `lr_supi`, main.py:236,468,496) and the LR
+  enters the step as a traced scalar, so schedules never retrace;
+* eval collects positive-class probabilities on device and syncs once per
+  epoch (the reference syncs per bag, main.py:537-539);
+* gradient clipping is applied to the *current* gradients before the update.
+  (The reference calls clip before backward, main.py:460-463, which clips the
+  zeroed gradients of the previous step -- a no-op at accumulation_steps=1.
+  We implement the evidently intended behavior.)
+* gradient accumulation averages all microbatch losses.  (The reference
+  discards non-step-iteration losses entirely, main.py:459-469; the faithful
+  quirk is not reproduced -- flagged in SURVEY.md §7 as fix-with-flag.)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import RRTEncoderConfig
+from ..data.bucketing import bucket_for, pad_bag
+from ..data import augment
+from .losses import bce_with_logits, cross_entropy
+from .optim import lr_at, make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    loss: str = "ce"                 # 'ce' | 'bce'
+    opt: str = "adam"
+    lr: float = 2e-4
+    weight_decay: float = 1e-5
+    lr_schedule: str = "cosine"
+    lr_supi: bool = False            # step schedule per iteration, not epoch
+    num_epochs: int = 200
+    batch_size: int = 1
+    n_classes: int = 2
+    cls_alpha: float = 1.0
+    aux_alpha: float = 1.0
+    accumulation_steps: int = 1
+    clip_grad: float = 0.0
+    patch_shuffle: bool = False
+    group_shuffle: bool = False
+    shuffle_group: int = 0
+    seed: int = 2021
+
+
+class Engine:
+    """Drives one model through train/eval epochs.
+
+    `model_apply(params, x, mask, length, train, rng) -> (logits, aux_loss)`
+    abstracts over plain models (aux = 0) and aux-loss models (CLAM/DSMIL).
+    """
+
+    def __init__(self, model, cfg: EngineConfig,
+                 encoder_cfg: Optional[RRTEncoderConfig] = None,
+                 apply_fn: Optional[Callable] = None,
+                 eval_logits_fn: Optional[Callable] = None):
+        self.model = model
+        self.cfg = cfg
+        self.encoder_cfg = encoder_cfg or RRTEncoderConfig()
+        self.tx = make_optimizer(cfg.opt, cfg.weight_decay)
+        self.apply_fn = apply_fn or self._default_apply
+        self.eval_logits_fn = eval_logits_fn
+        self._loss = cross_entropy if cfg.loss == "ce" else bce_with_logits
+        self.global_iter = 0
+        self._rng = np.random.default_rng(cfg.seed)
+
+    # -- model plumbing ----------------------------------------------------
+
+    def _default_apply(self, params, x, mask, length, train, rng):
+        out = self.model.apply(
+            {"params": params}, x, mask=mask, length=length,
+            deterministic=not train,
+            rngs={"dropout": rng} if train else {})
+        if isinstance(out, tuple):
+            logits, aux = out[0], out[1]
+        else:
+            logits, aux = out, 0.0
+        return logits, aux
+
+    def init(self, rng: jax.Array, example_length: int, input_dim: int) -> TrainState:
+        spec = bucket_for(example_length, self.encoder_cfg)
+        x = jnp.zeros((1, spec.data_length, input_dim), jnp.float32)
+        mask = jnp.ones((1, spec.data_length), bool)
+        variables = self.model.init({"params": rng, "dropout": rng}, x,
+                                    mask=mask, length=spec.repr_length,
+                                    deterministic=True)
+        params = variables["params"]
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    # -- jitted steps ------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "length"), donate_argnums=(1,))
+    def _train_step(self, state: TrainState, x, mask, labels, lr, rng,
+                    length: int):
+        cfg = self.cfg
+
+        def loss_fn(params):
+            logits, aux = self.apply_fn(params, x, mask, length, True, rng)
+            logit_loss = self._loss(logits, labels)
+            total = cfg.cls_alpha * logit_loss + cfg.aux_alpha * aux
+            return total, (logit_loss, aux)
+
+        (total, (logit_loss, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if cfg.clip_grad > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, total, logit_loss, aux
+
+    @partial(jax.jit, static_argnames=("self", "length"))
+    def _eval_step(self, params, x, mask, labels, length: int):
+        logits, _ = self.apply_fn(params, x, mask, length, False,
+                                  jax.random.PRNGKey(0))
+        if self.eval_logits_fn is not None:
+            logits = self.eval_logits_fn(logits)
+        if self.cfg.loss == "ce":
+            losses = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), labels[:, None], 1)[:, 0]
+            probs = jax.nn.softmax(logits, axis=-1)[:, 1]
+        else:
+            onehot = jax.nn.one_hot(labels, self.cfg.n_classes)
+            lp, lnp = jax.nn.log_sigmoid(logits), jax.nn.log_sigmoid(-logits)
+            losses = -jnp.mean(onehot * lp + (1 - onehot) * lnp, axis=-1)
+            probs = jax.nn.sigmoid(logits)[:, 1]
+        return probs, losses
+
+    # -- batching ----------------------------------------------------------
+
+    def _make_batch(self, dataset, indices: Sequence[int], train: bool):
+        bags, labels, lengths = [], [], []
+        for i in indices:
+            bag, label = dataset[i]
+            bag = np.asarray(bag, dtype=np.float32)
+            if bag.ndim == 3:
+                bag = bag[0]
+            if train and (self.cfg.patch_shuffle or self.cfg.group_shuffle):
+                fn = (augment.patch_shuffle if self.cfg.patch_shuffle
+                      else augment.group_shuffle)
+                bag = fn(bag, self.cfg.shuffle_group, self._rng)
+            bags.append(bag)
+            labels.append(label)
+            lengths.append(bag.shape[0])
+        spec = bucket_for(max(lengths), self.encoder_cfg)
+        xs, masks = zip(*[pad_bag(b, spec.data_length) for b in bags])
+        return (jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(masks)),
+                jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
+
+    def _batched_order(self, dataset, order: Sequence[int]) -> List[List[int]]:
+        """Greedy bucket-aware batching that preserves the given order within
+        each bucket.  batch_size=1 degenerates to the reference's ordering."""
+        bsz = self.cfg.batch_size
+        if bsz <= 1:
+            return [[i] for i in order]
+        pending: Dict[Tuple, List[int]] = {}
+        batches: List[List[int]] = []
+        for i in order:
+            bag, _ = dataset[i]
+            spec = bucket_for(np.asarray(bag).shape[0], self.encoder_cfg)
+            q = pending.setdefault(spec.key, [])
+            q.append(i)
+            if len(q) == bsz:
+                batches.append(q.copy())
+                q.clear()
+        for q in pending.values():
+            if q:
+                batches.append(q)
+        return batches
+
+    # -- epoch loops -------------------------------------------------------
+
+    def current_lr(self, epoch: int, iters_per_epoch: int) -> float:
+        cfg = self.cfg
+        if cfg.lr_supi:
+            return lr_at(cfg.lr_schedule, cfg.lr, self.global_iter,
+                         cfg.num_epochs * iters_per_epoch)
+        return lr_at(cfg.lr_schedule, cfg.lr, epoch, cfg.num_epochs)
+
+    def train_epoch(self, state: TrainState, dataset, epoch: int,
+                    rng_key: jax.Array, order: Optional[Sequence[int]] = None
+                    ) -> Tuple[TrainState, float]:
+        if order is None:
+            order = self._rng.permutation(len(dataset))
+        batches = self._batched_order(dataset, order)
+        total_loss, count = 0.0, 0
+        for bi, batch_idx in enumerate(batches):
+            x, mask, labels, spec = self._make_batch(dataset, batch_idx, True)
+            lr = self.current_lr(epoch, len(batches))
+            step_rng = jax.random.fold_in(rng_key, self.global_iter)
+            state, loss, logit_loss, aux = self._train_step(
+                state, x, mask, labels, jnp.float32(lr), step_rng,
+                spec.repr_length)
+            total_loss += float(loss)
+            count += 1
+            self.global_iter += 1
+        return state, total_loss / max(count, 1)
+
+    def evaluate(self, params, dataset,
+                 order: Optional[Sequence[int]] = None):
+        """Returns (probs, labels, mean_loss) over the dataset, in order."""
+        order = list(order if order is not None else range(len(dataset)))
+        batches = self._batched_order(dataset, order)
+        probs_all, labels_all, losses_all = [], [], []
+        for batch_idx in batches:
+            x, mask, labels, spec = self._make_batch(dataset, batch_idx, False)
+            probs, losses = self._eval_step(params, x, mask, labels,
+                                            spec.repr_length)
+            probs_all.append(np.asarray(probs))
+            labels_all.append(np.asarray(labels))
+            losses_all.append(np.asarray(losses))
+        return (np.concatenate(probs_all), np.concatenate(labels_all),
+                float(np.mean(np.concatenate(losses_all))))

@@ -1,0 +1,202 @@
+"""Training-layer tests: metrics vs sklearn, optimizer/grad parity vs the
+reference trajectory, and a synthetic end-to-end training run."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from golden_utils import ensure_goldens, load
+
+from rrtmil_tpu.config import RRTEncoderConfig, RRTMILConfig
+from rrtmil_tpu.models import RRTMIL
+from rrtmil_tpu.data.datasets import ArrayDataset, get_kfold, read_label_csv
+from rrtmil_tpu.train import metrics as M
+from rrtmil_tpu.train.engine import Engine, EngineConfig, TrainState
+from rrtmil_tpu.train.earlystop import EarlyStopping
+
+
+# ---------------------------------------------------------------------------
+# metrics vs sklearn (reference utils.py:91-103 uses sklearn directly)
+# ---------------------------------------------------------------------------
+
+sklearn = pytest.importorskip("sklearn")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_five_scores_matches_sklearn(seed):
+    from sklearn.metrics import (accuracy_score,
+                                 precision_recall_fscore_support,
+                                 roc_auc_score, roc_curve)
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, 200)
+    scores = np.clip(labels * 0.3 + rng.normal(0.4, 0.3, 200), 0, 1)
+
+    acc, auc, pre, rec, f1 = M.five_scores(labels, scores, sub_typing=False)
+
+    fpr, tpr, thr = roc_curve(labels, scores, pos_label=1)
+    loss = fpr - tpr
+    t_opt = thr[np.argmin(loss)]
+    preds = (scores >= t_opt).astype(int)
+    pre_s, rec_s, f1_s, _ = precision_recall_fscore_support(
+        labels, preds, average="binary")
+    np.testing.assert_allclose(auc, roc_auc_score(labels, scores), atol=1e-10)
+    np.testing.assert_allclose(acc, accuracy_score(labels, preds), atol=1e-10)
+    np.testing.assert_allclose([pre, rec, f1], [pre_s, rec_s, f1_s], atol=1e-10)
+
+
+def test_five_scores_macro_matches_sklearn():
+    from sklearn.metrics import precision_recall_fscore_support, roc_curve
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 2, 150)
+    scores = np.clip(labels * 0.25 + rng.normal(0.45, 0.25, 150), 0, 1)
+    _, _, pre, rec, f1 = M.five_scores(labels, scores, sub_typing=True)
+    fpr, tpr, thr = roc_curve(labels, scores, pos_label=1)
+    t_opt = thr[np.argmin(fpr - tpr)]
+    preds = (scores >= t_opt).astype(int)
+    pre_s, rec_s, f1_s, _ = precision_recall_fscore_support(
+        labels, preds, average="macro")
+    np.testing.assert_allclose([pre, rec, f1], [pre_s, rec_s, f1_s], atol=1e-10)
+
+
+def test_cindex_matches_sksurv_formula():
+    rng = np.random.default_rng(0)
+    n = 60
+    event = rng.integers(0, 2, n).astype(bool)
+    time = rng.uniform(1, 100, n)
+    risk = -time + rng.normal(0, 10, n)
+    got = M.concordance_index_censored(event, time, risk)
+    try:
+        from sksurv.metrics import concordance_index_censored as sk_ci
+        want = sk_ci(event, time, risk)[0]
+        np.testing.assert_allclose(got, want, atol=1e-10)
+    except ImportError:
+        assert 0.5 < got <= 1.0  # anti-correlated risk => concordant
+
+
+def test_kfold_matches_sklearn():
+    from sklearn.model_selection import StratifiedKFold
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 57).astype(str).astype(object)
+    patients = np.array([f"p{i}" for i in range(57)], dtype=object)
+    from rrtmil_tpu.data.datasets import stratified_kfold_indices
+    ours = stratified_kfold_indices(labels, 5)
+    theirs = list(StratifiedKFold(n_splits=5).split(patients, labels))
+    for (tr_a, te_a), (tr_b, te_b) in zip(ours, theirs):
+        np.testing.assert_array_equal(tr_a, tr_b)
+        np.testing.assert_array_equal(te_a, te_b)
+
+
+# ---------------------------------------------------------------------------
+# optimizer/grad parity vs the reference trajectory
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not ensure_goldens(), reason="no goldens")
+def test_train_step_parity():
+    inputs, params, outputs, _ = load("train_steps")
+    cfg = RRTMILConfig(
+        input_dim=64, dropout=0.0,
+        encoder=RRTEncoderConfig(epeg_k=9, crmsa_k=3, dropout=0.0))
+    model = RRTMIL(cfg)
+    engine = Engine(model, EngineConfig(loss="ce", opt="adam", lr=2e-4,
+                                        weight_decay=1e-5,
+                                        lr_schedule="const"))
+    params = jax.tree.map(jnp.asarray, params)
+    state = TrainState(params=params,
+                       opt_state=engine.tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    bags = [inputs[f"bag{i}"] for i in range(3)]
+    labels = outputs["labels"]
+    rng = jax.random.PRNGKey(0)
+    for step in range(6):
+        bag = jnp.asarray(bags[step % 3])
+        label = jnp.asarray([labels[step % 3]], jnp.int32)
+        mask = jnp.ones(bag.shape[:2], bool)
+        state, loss, logit_loss, _ = engine._train_step(
+            state, bag, mask, label, jnp.float32(2e-4), rng,
+            bag.shape[1])
+        np.testing.assert_allclose(float(loss), outputs["losses"][step],
+                                   atol=5e-4,
+                                   err_msg=f"loss diverged at step {step}")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end synthetic training
+# ---------------------------------------------------------------------------
+
+def _synthetic_dataset(n_bags=24, dim=32, seed=0):
+    """Positive bags contain a planted signal direction in a few patches."""
+    rng = np.random.default_rng(seed)
+    signal = rng.normal(size=(dim,))
+    signal /= np.linalg.norm(signal)
+    bags, labels = [], []
+    for i in range(n_bags):
+        length = int(rng.integers(40, 200))
+        bag = rng.normal(size=(length, dim)).astype(np.float32)
+        label = i % 2
+        if label == 1:
+            k = max(3, length // 10)
+            bag[:k] += 3.0 * signal
+        bags.append(bag)
+        labels.append(label)
+    return ArrayDataset(bags, labels)
+
+
+def test_engine_trains_and_is_deterministic():
+    ds = _synthetic_dataset()
+    cfg = RRTMILConfig(input_dim=32,
+                       encoder=RRTEncoderConfig(epeg_k=9, crmsa_k=1))
+    model = RRTMIL(cfg)
+
+    def run():
+        engine = Engine(model, EngineConfig(lr=1e-3, num_epochs=8, seed=7),
+                        encoder_cfg=cfg.encoder)
+        state = engine.init(jax.random.PRNGKey(0), 200, 32)
+        key = jax.random.PRNGKey(7)
+        losses = []
+        for epoch in range(8):
+            state, loss = engine.train_epoch(state, ds, epoch,
+                                             jax.random.fold_in(key, epoch))
+            losses.append(loss)
+        probs, labels, _ = engine.evaluate(state.params, ds)
+        return losses, probs, labels
+
+    losses, probs, labels = run()
+    auc = M.roc_auc_score(labels, probs)
+    assert auc > 0.9, f"synthetic AUC too low: {auc}"
+    assert losses[-1] < losses[0]
+
+    losses2, probs2, _ = run()
+    np.testing.assert_allclose(losses, losses2, rtol=1e-6)
+    np.testing.assert_allclose(probs, probs2, rtol=1e-6)
+
+
+def test_early_stopping_mirror():
+    es = EarlyStopping(patience=2, stop_epoch=3)
+    assert es(0, -0.5)            # first call: best
+    assert not es(1, -0.4)        # worse
+    assert not es(2, -0.3)        # worse: counter=2 but epoch<=stop_epoch
+    assert not es.early_stop
+    assert not es(4, -0.2)
+    assert es.early_stop
+    state = es.state_dict()
+    es2 = EarlyStopping()
+    es2.load_state_dict(state)
+    assert es2.early_stop and es2.counter == es.counter
+
+
+def test_batched_training_matches_bs1_eval():
+    """Evaluation must be batch-size invariant."""
+    ds = _synthetic_dataset(n_bags=10)
+    cfg = RRTMILConfig(input_dim=32,
+                       encoder=RRTEncoderConfig(epeg_k=9, crmsa_k=1))
+    model = RRTMIL(cfg)
+    engine1 = Engine(model, EngineConfig(batch_size=1), encoder_cfg=cfg.encoder)
+    engine4 = Engine(model, EngineConfig(batch_size=4), encoder_cfg=cfg.encoder)
+    state = engine1.init(jax.random.PRNGKey(0), 200, 32)
+    p1, l1, loss1 = engine1.evaluate(state.params, ds)
+    p4, l4, loss4 = engine4.evaluate(state.params, ds)
+    order1 = np.argsort(p1)
+    # batch-4 shuffles order within buckets; compare as multisets per label
+    np.testing.assert_allclose(np.sort(p1), np.sort(p4), atol=1e-5)
+    np.testing.assert_allclose(loss1, loss4, atol=1e-5)

@@ -89,7 +89,9 @@ os.makedirs(OUT, exist_ok=True)
 # ---------------------------------------------------------------------------
 
 def t2n(t):
-    return t.detach().cpu().numpy()
+    # .copy() matters: numpy() shares memory with the torch tensor, and
+    # in-place optimizer updates would silently mutate saved fixtures.
+    return t.detach().cpu().numpy().copy()
 
 
 def dense(mod: nn.Linear):
@@ -352,8 +354,40 @@ def gen_rrtmil():
         save(f"rrtmil_{tag}", {"x": t2n(x)}, rrtmil_params(mod), {"y": t2n(y)})
 
 
+def gen_train_steps():
+    """Reference training trajectory: RRTMIL + CE + torch Adam (lr 2e-4,
+    weight_decay 1e-5, L2 semantics), 6 steps over 3 bags of different
+    lengths, dropout off.  Validates grads + optimizer + loss end-to-end
+    (reference main.py:415-499 train_loop at accumulation_steps=1)."""
+    seeded()
+    mod = RRTMIL(n_classes=2, dropout=0.0, trans_dropout=0.0, input_dim=64,
+                 epeg_k=9, crmsa_k=3).train()
+    params0 = rrtmil_params(mod)
+    bags = [torch.randn(1, n, 64) for n in (120, 257, 64)]
+    labels = [0, 1, 1]
+    optimizer = torch.optim.Adam(mod.parameters(), lr=2e-4, weight_decay=1e-5)
+    criterion = nn.CrossEntropyLoss()
+    losses, logits_hist = [], []
+    for step in range(6):
+        bag = bags[step % 3]
+        label = torch.tensor([labels[step % 3]])
+        optimizer.zero_grad()
+        logits = mod(bag)
+        loss = criterion(logits.view(1, -1), label)
+        loss.backward()
+        optimizer.step()
+        losses.append(loss.item())
+        logits_hist.append(t2n(logits))
+    save("train_steps", {f"bag{i}": t2n(b) for i, b in enumerate(bags)},
+         params0,
+         {"losses": np.array(losses),
+          "logits": np.concatenate(logits_hist, 0),
+          "labels": np.array(labels)})
+
+
 def main():
     print("Generating goldens from /root/reference (torch CPU)...")
+    gen_train_steps()
     gen_inner_attention()
     gen_region_attention()
     gen_crmsa()
