@@ -49,6 +49,10 @@ class InnerAttentionConfig:
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
     epeg: EPEGConfig = EPEGConfig(enabled=False)
+    backend: str = "auto"               # 'auto' | 'xla' | 'pallas': fused
+    # region-attention kernel (ops/pallas/region_attn.py); 'auto' uses the
+    # Pallas kernel on TPU when the config is fusable (1-D 'attn' EPEG or no
+    # EPEG, no attention dropout).
 
     @property
     def resolved_head_dim(self) -> int:

@@ -48,6 +48,15 @@ from .pool import DAttention, MeanPool, masked_softmax
 from .posemb import APE, PEG, PPEG, SINCOS
 
 
+def _on_tpu() -> bool:
+    """True when the default backend is a TPU (the sandbox tunnel reports
+    platform 'axon'; anything that is not cpu/gpu is treated as TPU)."""
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def _fit_length(x: jnp.ndarray, target: int) -> jnp.ndarray:
     """Static slice or zero-pad the token axis of (B, N, C) to `target`."""
     n = x.shape[1]
@@ -121,24 +130,45 @@ class InnerAttention(nn.Module):
         qkv = qkv.reshape(b_, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]          # (B_, h, N, hd)
 
-        q = q * cfg.scale
-        attn = jnp.einsum("bhid,bhjd->bhij", q, k)  # raw logits (B_, h, N, N)
-
         ep = cfg.epeg
-        if ep.enabled and ep.kind == "attn":
-            kh, kw = (ep.k, ep.k) if ep.two_d else (ep.k, 1)
-            kernel = self.param("pe_kernel", xavier_normal, (kh, kw, 1, h))
-            bias = self.param("pe_bias", zeros, (h,)) if ep.bias else None
-            attn = attn + epeg_logit_conv(attn, kernel, bias, ep.k, ep.two_d)
+        fusable = ((not ep.enabled or (ep.kind == "attn" and not ep.two_d))
+                   and cfg.attn_dropout == 0.0 and not return_attn)
+        use_pallas = cfg.backend == "pallas" or (
+            cfg.backend == "auto" and fusable and _on_tpu())
 
-        attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(cfg.attn_dropout)(attn, deterministic=deterministic)
+        if use_pallas and fusable:
+            # Fused Pallas path: logits + EPEG conv + softmax + AV in VMEM
+            # (ops/pallas/region_attn.py).  Kernel params stored in the same
+            # layout as the XLA path so checkpoints are interchangeable.
+            from ..ops.pallas.region_attn import region_attention_fused
+            if ep.enabled:
+                kernel = self.param("pe_kernel", xavier_normal, (ep.k, 1, 1, h))
+                w = kernel[:, 0, 0, :].T              # (H, k)
+                bias = (self.param("pe_bias", zeros, (h,))
+                        if ep.bias else None)
+            else:
+                w, bias = None, None
+            out = region_attention_fused(q, k, v, w, bias, cfg.scale)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
+        else:
+            q = q * cfg.scale
+            attn = jnp.einsum("bhid,bhjd->bhij", q, k)  # logits (B_, h, N, N)
 
-        if ep.enabled and ep.kind == "value_bf":
-            v = v + self._value_pe(v, n)
+            if ep.enabled and ep.kind == "attn":
+                kh, kw = (ep.k, ep.k) if ep.two_d else (ep.k, 1)
+                kernel = self.param("pe_kernel", xavier_normal, (kh, kw, 1, h))
+                bias = self.param("pe_bias", zeros, (h,)) if ep.bias else None
+                attn = attn + epeg_logit_conv(attn, kernel, bias, ep.k, ep.two_d)
 
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
+            attn = nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(cfg.attn_dropout)(
+                attn, deterministic=deterministic)
+
+            if ep.enabled and ep.kind == "value_bf":
+                v = v + self._value_pe(v, n)
+
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
 
         if ep.enabled and ep.kind == "value_af":
             pe = self._value_pe(v, n, flat=True)

@@ -1,0 +1,51 @@
+"""Device mesh construction and sharding specs.
+
+The framework's parallel axes (SURVEY.md §2.5):
+
+  * `dp` -- data parallelism over slide (bag) batches; gradients psum over
+    ICI.  The 5-fold CV loop is embarrassingly parallel on top of this.
+  * `sp` -- sequence parallelism over the *region* axis of a bag.  R-MSA
+    attention never crosses region boundaries (reference rmsa.py:204-230),
+    so sharding regions is exact; CR-MSA's compressed tokens (crmsa_k per
+    region) are the only cross-shard traffic (parallel/seqshard.py).
+
+The reference has no distributed code at all (single GPU, batch 1); this
+layer is new design constrained only by the reference's numerics.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, sp: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, sp) mesh.  dp defaults to n_devices // sp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // sp
+    if dp * sp != n:
+        raise ValueError(f"dp*sp = {dp}*{sp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (bag) axis over dp; tokens replicated or sharded
+    over sp by the seqshard layer."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, N, C) with bags over dp and tokens over sp.  Valid whenever N is
+    a multiple of sp * row-block; the region partitioner keeps whole grid
+    rows on one shard so regions never straddle shards."""
+    return NamedSharding(mesh, P("dp", "sp", None))

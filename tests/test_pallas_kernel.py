@@ -1,0 +1,74 @@
+"""Fused region-attention Pallas kernel: math parity vs. the XLA path
+(interpret mode on CPU; the same kernel is compile-tested on TPU by bench.py
+and used automatically by InnerAttention there)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rrtmil_tpu.ops.pallas.region_attn import (_fused_fwd_pallas,
+                                               _fused_fwd_xla,
+                                               region_attention_fused)
+
+
+def _inputs(r=4, h=8, p=144, hd=64, kk=15, seed=0):
+    key = jax.random.PRNGKey(seed)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (r, h, p, hd),
+                                 jnp.float32) for i in range(3))
+    w = jax.random.normal(jax.random.fold_in(key, 3), (h, kk)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 4), (h,)) * 0.1
+    return q, k, v, w, b
+
+
+@pytest.mark.parametrize("kk", [15, 9, 21, 1])
+def test_kernel_matches_xla_with_epeg(kk):
+    q, k, v, w, b = _inputs(kk=kk)
+    ref = _fused_fwd_xla(q, k, v, w, b, scale=0.125)
+    got = _fused_fwd_pallas(q, k, v, w, b, scale=0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_kernel_matches_xla_no_epeg():
+    q, k, v, _, _ = _inputs()
+    ref = _fused_fwd_xla(q, k, v, None, None, scale=0.125)
+    got = _fused_fwd_pallas(q, k, v, None, None, scale=0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_kernel_xla_path_matches_conv_formulation():
+    """The tap-sum formulation must equal the lax.conv EPEG used by the
+    non-fused InnerAttention path."""
+    from rrtmil_tpu.ops.epeg import epeg_logit_conv
+    q, k, v, w, b = _inputs(r=2)
+    logits = jnp.einsum("rhid,rhjd->rhij", q * 0.125, k)
+    kernel_hwio = w.T[:, None, None, :]        # (kk,1,1,H)
+    pe_conv = epeg_logit_conv(logits, kernel_hwio, b, w.shape[1], False)
+
+    kk = w.shape[1]
+    pad = kk // 2
+    padded = jnp.pad(logits, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    pe_taps = sum(w[None, :, t, None, None] *
+                  jax.lax.slice_in_dim(padded, t, t + logits.shape[2], axis=2)
+                  for t in range(kk)) + b[None, :, None, None]
+    np.testing.assert_allclose(np.asarray(pe_taps), np.asarray(pe_conv),
+                               atol=1e-5)
+
+
+def test_custom_vjp_gradients():
+    """Backward (XLA vjp) must match differentiating the XLA forward."""
+    q, k, v, w, b = _inputs(r=2, p=64)
+
+    def loss_fused(q, k, v, w, b):
+        return region_attention_fused(q, k, v, w, b, 0.125).sum()
+
+    def loss_xla(q, k, v, w, b):
+        return _fused_fwd_xla(q, k, v, w, b, scale=0.125).sum()
+
+    # interpret mode for the pallas fwd inside grad
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
+    for a, c in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
