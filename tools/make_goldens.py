@@ -354,6 +354,195 @@ def gen_rrtmil():
         save(f"rrtmil_{tag}", {"x": t2n(x)}, rrtmil_params(mod), {"y": t2n(y)})
 
 
+# ---------------------------------------------------------------------------
+# model zoo fixtures
+# ---------------------------------------------------------------------------
+
+# CLAM hardcodes .cuda() on its instance loss (clam.py:116,251); neutralize
+# for CPU golden generation.
+nn.Module.cuda = lambda self, device=None: self  # type: ignore
+
+# attmil.py imports torchvision only for its unused end-to-end Resnet class
+# (attmil.py:27-54); shim it.
+_tv = types.ModuleType("torchvision")
+_tv_models = types.ModuleType("torchvision.models")
+_tv_models.resnet50 = lambda pretrained=False: (_ for _ in ()).throw(
+    RuntimeError("resnet50 shim: not used by goldens"))
+_tv.models = _tv_models
+sys.modules.setdefault("torchvision", _tv)
+sys.modules.setdefault("torchvision.models", _tv_models)
+
+# topk/polynomial/multiplication.py does `from future.builtins import range`
+# (py2 compat); shim with the builtin.
+_future = types.ModuleType("future")
+_future_builtins = types.ModuleType("future.builtins")
+_future_builtins.range = range
+_future.builtins = _future_builtins
+sys.modules.setdefault("future", _future)
+sys.modules.setdefault("future.builtins", _future_builtins)
+
+from modules import attmil as ref_attmil          # noqa: E402
+from modules import mean_max as ref_mean_max      # noqa: E402
+from modules import clam as ref_clam              # noqa: E402
+from modules import dsmil as ref_dsmil            # noqa: E402
+from modules import transmil as ref_transmil      # noqa: E402
+from modules import attmil_ibmil as ref_ibmil     # noqa: E402
+
+
+def seq_linears(seq):
+    return [m for m in seq if isinstance(m, nn.Linear)]
+
+
+def gen_attmil():
+    seeded()
+    mod = ref_attmil.DAttention(input_dim=1024, n_classes=2, dropout=0.25,
+                                act="relu").eval()
+    x = torch.randn(1, 937, 1024)
+    with torch.no_grad():
+        y = mod(x)
+    att = seq_linears(mod.attention)
+    params = {
+        "feature": {"fc": dense(seq_linears(mod.feature)[0])},
+        "attn_fc1": dense(att[0]), "attn_fc2": dense(att[1]),
+        "classifier": dense(seq_linears(mod.classifier)[0]),
+    }
+    save("attmil", {"x": t2n(x)}, params, {"y": t2n(y)})
+
+    seeded()
+    mod = ref_attmil.AttentionGated(input_dim=512, act="relu",
+                                    dropout=False).eval()
+    with torch.no_grad():
+        y = mod(x)
+    params = {
+        "feature": {"fc": dense(seq_linears(mod.feature)[0])},
+        "attention_a": dense(seq_linears(mod.attention_a)[0]),
+        "attention_b": dense(seq_linears(mod.attention_b)[0]),
+        "attention_c": dense(mod.attention_c),
+        "classifier": dense(seq_linears(mod.classifier)[0]),
+    }
+    save("gattmil", {"x": t2n(x)}, params, {"y": t2n(y)})
+
+
+def gen_mean_max():
+    for tag, cls in (("meanmil", ref_mean_max.MeanMIL),
+                     ("maxmil", ref_mean_max.MaxMIL)):
+        seeded()
+        mod = cls(input_dim=1024, n_classes=2, dropout=True, act="relu").eval()
+        x = torch.randn(1, 937, 1024)
+        with torch.no_grad():
+            y = mod(x)
+        lins = seq_linears(mod.head)
+        params = {"head": {"fc": dense(lins[0])}, "classifier": dense(lins[1])}
+        save(tag, {"x": t2n(x)}, params, {"y": t2n(y)})
+
+
+def _clam_common(mod, mb=False):
+    lins = seq_linears(mod.attention_net)
+    gate_net = mod.attention_net[-1]
+    params = {
+        "fc": dense(lins[0]),
+        "attn_net": {
+            "attention_a": dense(gate_net.attention_a[0]),
+            "attention_b": dense(gate_net.attention_b[0]),
+            "attention_c": dense(gate_net.attention_c),
+        },
+    }
+    for i, clf in enumerate(mod.instance_classifiers):
+        params[f"instance_classifier_{i}"] = dense(clf)
+    if mb:
+        for c, clf in enumerate(mod.classifiers):
+            params[f"classifier_{c}"] = dense(clf)
+    else:
+        params["classifiers"] = dense(mod.classifiers)
+    return params
+
+
+def gen_clam():
+    for tag, cls, mb in (("clam_sb", ref_clam.CLAM_SB, False),
+                         ("clam_mb", ref_clam.CLAM_MB, True)):
+        seeded()
+        mod = cls(input_dim=1024, n_classes=2, dropout=0.0).eval()
+        x = torch.randn(1, 937, 1024)
+        label = torch.tensor([1])
+        with torch.no_grad():
+            logits, inst_loss, ps = mod(x, label=label, instance_eval=True)
+            logits_eval = mod(x, instance_eval=False)
+        save(tag, {"x": t2n(x), "label": np.array([1])}, _clam_common(mod, mb),
+             {"logits": t2n(logits), "inst_loss": np.float64(inst_loss.item()),
+              "ps": np.int64(ps), "logits_eval": t2n(logits_eval)})
+
+
+def gen_dsmil():
+    seeded()
+    mod = ref_dsmil.MILNet(n_classes=2, dropout=0.0, act="relu",
+                           input_dim=1024).eval()
+    x = torch.randn(1, 937, 1024)
+    with torch.no_grad():
+        bag_logits, classes = mod(x)
+    params = {
+        "patch_to_emb": dense(seq_linears(mod.patch_to_emb)[0]),
+        "i_classifier": dense(mod.i_classifier),
+        "b_classifier": {
+            "q": dense(mod.b_classifier.q),
+            "fcc_kernel": t2n(mod.b_classifier.fcc.weight),
+            "fcc_bias": t2n(mod.b_classifier.fcc.bias),
+        },
+    }
+    save("dsmil", {"x": t2n(x)}, params,
+         {"bag_logits": t2n(bag_logits), "classes": t2n(classes)})
+
+
+def gen_transmil():
+    seeded()
+    mod = ref_transmil.TransMIL(input_dim=1024, n_classes=2, dropout=False,
+                                act="relu").eval()
+    x = torch.randn(1, 937, 1024)
+    with torch.no_grad():
+        y = mod(x)
+
+    def translayer(layer):
+        return {"norm": layernorm(layer.norm),
+                "attn": nystrom_params(layer.attn)}
+
+    ppeg = {}
+    for name in ("proj", "proj1", "proj2"):
+        c = getattr(mod.pos_layer, name)
+        ppeg[f"{name}_kernel"] = conv_hwio(c.weight)
+        ppeg[f"{name}_bias"] = t2n(c.bias)
+    params = {
+        "fc1": dense(seq_linears(mod._fc1)[0]),
+        "cls_token": t2n(mod.cls_token),
+        "layer1": translayer(mod.layer1),
+        "layer2": translayer(mod.layer2),
+        "pos_layer": ppeg,
+        "norm": layernorm(mod.norm),
+        "fc2": dense(mod._fc2),
+    }
+    save("transmil", {"x": t2n(x)}, params, {"y": t2n(y)})
+
+
+def gen_ibmil():
+    seeded()
+    protos = np.random.randn(8, 512).astype(np.float32)
+    proto_path = os.path.join(OUT, "_ibmil_protos.npy")
+    np.save(proto_path, protos)
+    mod = ref_ibmil.Dattention_ori(out_dim=2, in_size=1024, dropout=0.25,
+                                   confounder_path=proto_path).eval()
+    x = torch.randn(937, 1024)
+    with torch.no_grad():
+        y = mod(x)
+    att = seq_linears(mod.attention)
+    params = {
+        "embedding": {"fc": dense(seq_linears(mod.embedding.embed)[0])},
+        "attn_fc1": dense(att[0]), "attn_fc2": dense(att[1]),
+        "W_q": dense(mod.W_q), "W_k": dense(mod.W_k),
+        "head": dense(mod.head),
+    }
+    save("ibmil", {"x": t2n(x)[None], "confounders": protos}, params,
+         {"y": t2n(y)})
+    os.remove(proto_path)
+
+
 def gen_train_steps():
     """Reference training trajectory: RRTMIL + CE + torch Adam (lr 2e-4,
     weight_decay 1e-5, L2 semantics), 6 steps over 3 bags of different
@@ -388,6 +577,12 @@ def gen_train_steps():
 def main():
     print("Generating goldens from /root/reference (torch CPU)...")
     gen_train_steps()
+    gen_attmil()
+    gen_mean_max()
+    gen_clam()
+    gen_dsmil()
+    gen_transmil()
+    gen_ibmil()
     gen_inner_attention()
     gen_region_attention()
     gen_crmsa()
