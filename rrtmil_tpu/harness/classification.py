@@ -1,0 +1,264 @@
+"""Classification experiment harness: k-fold CV driver.
+
+Re-implements reference main.py:23-413 (main / one_fold) on the TPU engine:
+patient shuffle + stratified k-fold, per-fold training with validation,
+early stopping on -AUC, optional per-epoch test (`always_test`), best-AUC
+checkpointing, rolling full-resume checkpoints (incl. RNG streams), and
+cross-validation aggregation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import PoolConfig, PosEmbedConfig, RRTEncoderConfig, RRTMILConfig
+from ..data.datasets import (C16Dataset, TCGADataset, get_kfold,
+                             read_label_csv)
+from ..models import zoo
+from ..train.checkpoint import FoldCheckpointer
+from ..train.earlystop import EarlyStopping
+from ..train.engine import Engine, EngineConfig
+from ..train.metrics import five_scores
+from ..utils.logger import Logger
+
+
+def encoder_config_from_args(args) -> RRTEncoderConfig:
+    """Map the reference CLI surface onto the typed config tree
+    (flags at reference main.py:654-695)."""
+    return RRTEncoderConfig(
+        dim=512,
+        n_layers=args.n_trans_layers,
+        n_heads=args.n_heads,
+        crmsa_heads=args.crmsa_heads,
+        region_num=args.region_num,
+        min_region_num=args.min_region_num,
+        attn_mode=args.attn,
+        epeg=args.epeg,
+        epeg_k=args.epeg_k,
+        epeg_2d=args.epeg_2d,
+        epeg_bias=args.epeg_bias,
+        epeg_type=args.epeg_type,
+        cr_msa=args.cr_msa,
+        crmsa_k=args.crmsa_k,
+        crmsa_mlp=args.crmsa_mlp,
+        all_shortcut=args.all_shortcut,
+        qkv_bias=args.qkv_bias,
+        dropout=args.trans_drop_out,
+        drop_path=args.drop_path,
+        ffn=args.ffn,
+        mlp_ratio=args.mlp_ratio,
+        trans_dim=args.trans_dim,
+        pos=PosEmbedConfig(kind=args.pos, k=args.peg_k, conv_1d=args.peg_1d,
+                           pos_pos=args.pos_pos),
+    )
+
+
+def build_model_from_args(args, confounders=None):
+    enc = encoder_config_from_args(args)
+    rrt = enc if (args.only_rrt_enc and args.model != "rrtmil") else None
+    if args.model == "rrtmil":
+        cfg = RRTMILConfig(
+            input_dim=args.input_dim, n_classes=args.n_classes, act=args.act,
+            dropout=args.dropout, encoder=enc,
+            pool=PoolConfig(kind=args.pool, act=args.da_act))
+        return zoo.build_model("rrtmil", rrtmil_cfg=cfg), enc
+    model = zoo.build_model(
+        args.model, input_dim=args.input_dim, n_classes=args.n_classes,
+        dropout=args.dropout, act=args.act, rrt=rrt, confounders=confounders,
+        subtyping=args.datasets.lower() != "camelyon16")
+    return model, enc
+
+
+def engine_config_from_args(args) -> EngineConfig:
+    cls_alpha, aux_alpha = zoo.LOSS_WEIGHT_OVERRIDES.get(
+        args.model, (args.cls_alpha, args.aux_alpha))
+    return EngineConfig(
+        loss=args.loss, opt=args.opt, lr=args.lr,
+        weight_decay=args.weight_decay, lr_schedule=args.lr_sche,
+        lr_supi=args.lr_supi, num_epochs=args.num_epoch,
+        batch_size=args.batch_size, n_classes=args.n_classes,
+        cls_alpha=cls_alpha, aux_alpha=aux_alpha,
+        accumulation_steps=args.accumulation_steps, clip_grad=args.clip_grad,
+        patch_shuffle=args.patch_shuffle, group_shuffle=args.group_shuffle,
+        shuffle_group=args.shuffle_group, seed=args.seed,
+        exact=args.model == "transmil",
+        aux_mode=zoo.aux_mode(args.model))
+
+
+def _make_datasets(args, fold, splits):
+    train_p, train_l, test_p, test_l, val_p, val_l = splits[fold]
+    if args.datasets.lower() == "camelyon16":
+        mk = lambda p, l: C16Dataset(p, l, root=args.dataset_root,
+                                     persistence=args.persistence)
+    else:
+        mk = lambda p, l: TCGADataset(p, l, root=args.dataset_root,
+                                      max_patch=args.tcga_max_patch,
+                                      persistence=args.persistence,
+                                      subtype=args.tcga_sub)
+    train_set = mk(train_p, train_l)
+    test_set = mk(test_p, test_l)
+    val_set = mk(val_p, val_l) if args.val_ratio != 0.0 else test_set
+    return train_set, val_set, test_set
+
+
+def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
+             logger: Logger, resume_payload: Optional[Dict] = None):
+    train_set, val_set, test_set = _make_datasets(args, fold, splits)
+
+    model, enc_cfg = build_model_from_args(args)
+    engine = Engine(model, engine_config_from_args(args), encoder_cfg=enc_cfg)
+    example_len = max(train_set.bag(0).shape[0], 64)
+    state = engine.init(jax.random.PRNGKey(args.seed), example_len,
+                        args.input_dim)
+
+    sub_typing = args.datasets.lower() != "camelyon16"
+    is_c16 = args.datasets.lower() == "camelyon16"
+    early = EarlyStopping(
+        patience=30 if is_c16 else 20,
+        stop_epoch=args.max_epoch if is_c16 else 70,
+        save_best_model_stage=np.ceil(
+            args.save_best_model_stage * args.num_epoch)) \
+        if args.early_stopping else None
+
+    ckpt = FoldCheckpointer(args.model_path)
+    best = {"acc": 0, "pre": 0, "rec": 0, "fs": 0, "auc": 0, "epoch": 0,
+            "te_auc": 0.0, "te_fs": 0.0}
+    epoch_start = 0
+    epoch_key = jax.random.PRNGKey(args.seed + 1000 * fold)
+
+    if resume_payload is not None:
+        state, _ = ckpt.load_rolling(state)
+        host = resume_payload
+        epoch_start = host["epoch"]
+        engine.global_iter = host["global_iter"]
+        engine._rng = np.random.default_rng()
+        engine._rng.bit_generator.state = host["engine_rng"]
+        best = host["best"]
+        if early is not None:
+            early.load_state_dict(host["early_stop"])
+
+    for epoch in range(epoch_start, args.num_epoch):
+        t0 = time.time()
+        state, train_loss = engine.train_epoch(
+            state, train_set, epoch, jax.random.fold_in(epoch_key, epoch))
+        train_time = time.time() - t0
+
+        probs, labels, val_loss = engine.evaluate(state.params, val_set)
+        acc, auc, pre, rec, fs = five_scores(labels, probs, sub_typing)
+
+        stop = False
+        if early is not None:
+            early(epoch, -auc)
+            stop = early.early_stop
+
+        if args.always_test:
+            te_probs, te_labels, te_loss = engine.evaluate(state.params,
+                                                           test_set)
+            te_metrics = five_scores(te_labels, te_probs, sub_typing)
+            if te_metrics[1] > best["te_auc"]:
+                best["te_auc"], best["te_fs"] = te_metrics[1], te_metrics[4]
+            logger.log({f"{fold}-fold/te_auc": te_metrics[1],
+                        f"{fold}-fold/te_loss": te_loss}, step=epoch,
+                       commit=False)
+
+        logger.print(
+            f"Epoch [{epoch + 1}/{args.num_epoch}] train loss: {train_loss:.3E},"
+            f" val loss: {val_loss:.3E}, acc: {acc:.3f}, auc: {auc:.3f},"
+            f" pre: {pre:.3f}, rec: {rec:.3f}, f1: {fs:.3f},"
+            f" time: {train_time:.2f}s")
+        logger.log({f"{fold}-fold/val_acc": acc, f"{fold}-fold/val_auc": auc,
+                    f"{fold}-fold/val_loss": val_loss,
+                    f"{fold}-fold/epoch": epoch}, step=epoch)
+
+        if auc > best["auc"] and epoch >= args.save_best_model_stage * args.num_epoch:
+            best.update(acc=acc, pre=pre, rec=rec, fs=fs, auc=auc, epoch=epoch)
+            if not args.no_log:
+                ckpt.save_best(fold, state.params)
+
+        if not args.no_log:
+            host = {
+                "epoch": epoch + 1, "fold": fold,
+                "global_iter": engine.global_iter,
+                "engine_rng": engine._rng.bit_generator.state,
+                "best": best,
+                "early_stop": early.state_dict() if early else None,
+                "metrics": metrics,
+                "wandb_id": logger.wandb_id,
+            }
+            ckpt.save_rolling(state, host)
+
+        if stop:
+            break
+
+    # final test with fold-best weights (main.py:384-407)
+    params = state.params
+    if not args.no_log and os.path.exists(ckpt.best_path(fold)):
+        params = ckpt.load_best(fold, state.params)
+    probs, labels, test_loss = engine.evaluate(params, test_set)
+    acc, auc, pre, rec, fs = five_scores(labels, probs, sub_typing)
+    logger.print(f"Fold {fold} test: acc {acc:.3f} auc {auc:.3f} "
+                 f"pre {pre:.3f} rec {rec:.3f} f1 {fs:.3f}")
+    logger.log({"test_acc": acc, "test_auc": auc, "test_fscore": fs})
+
+    metrics["acs"].append(acc)
+    metrics["pre"].append(pre)
+    metrics["rec"].append(rec)
+    metrics["fs"].append(fs)
+    metrics["auc"].append(auc)
+    if args.always_test:
+        metrics["te_auc"].append(best["te_auc"])
+        metrics["te_fs"].append(best["te_fs"])
+    return metrics
+
+
+def run_cv(args) -> Dict[str, List[float]]:
+    """The reference `main(args)` (main.py:23-96)."""
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    label_path = os.path.join(args.dataset_root, "label.csv")
+    patients, labels = read_label_csv(label_path)
+    index = list(range(len(patients)))
+    random.shuffle(index)
+    patients, labels = patients[index], labels[index]
+
+    splits = get_kfold(args.cv_fold, patients, labels, args.val_ratio)
+
+    logger = Logger(use_wandb=args.wandb, project=args.project,
+                    name=args.title, config=vars(args),
+                    log_dir=args.model_path, quiet=args.no_log)
+
+    metrics = {"acs": [], "pre": [], "rec": [], "fs": [], "auc": [],
+               "te_auc": [], "te_fs": []}
+
+    fold_start = args.fold_start
+    resume_payload = None
+    if args.auto_resume and not args.no_log:
+        ckpt = FoldCheckpointer(args.model_path)
+        if ckpt.has_rolling():
+            from ..train.checkpoint import load_host_state
+            resume_payload = load_host_state(
+                os.path.join(args.model_path, "ckp_host.pkl"))
+            fold_start = resume_payload["fold"]
+            metrics = resume_payload["metrics"]
+
+    for k in range(fold_start, args.cv_fold):
+        logger.print(f"Start {args.cv_fold}-fold cross validation: fold {k}")
+        metrics = one_fold(args, k, splits, metrics, logger,
+                           resume_payload if k == fold_start else None)
+        resume_payload = None
+
+    for key in ("acs", "auc", "pre", "rec", "fs"):
+        vals = np.array(metrics[key])
+        logger.print(f"Cross validation {key} mean: {vals.mean():.3f}, "
+                     f"std {vals.std():.3f}")
+    logger.log({f"cross_val/{k}_mean": float(np.mean(v))
+                for k, v in metrics.items() if v})
+    logger.finish()
+    return metrics

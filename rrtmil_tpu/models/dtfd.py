@@ -1,0 +1,173 @@
+"""DTFD: double-tier feature distillation MIL (reference
+Survival/models/DTFD/network.py:146-280).
+
+Tier 1 splits the bag into `group` pseudo-bags (sequential np.array_split
+chunks, :165-168), runs dimReduction -> gated attention -> pooled classifier
+per pseudo-bag, and distills MaxMinS/MaxS/AFS instance features via the
+CAM-style per-instance logits (:192-210).  Tier 2 classifies the distilled
+features with an attention classifier.
+
+The reference hides an optimization inside `forward`
+(`loss0.backward(retain_graph=True)`, :217-219) whose optimizer0 is NEVER
+stepped in the survival variant -- the gradients simply accumulate and the
+engine's single outer Adam applies grad(loss0) + grad(loss_outer).  In JAX
+this becomes the explicit surrogate `total = loss0 + loss_outer` under one
+optimizer: mathematically the identical update (train/surv_engine.py wiring
+in harness/survival.py).
+
+Static shapes: the pseudo-bag chunking is computed in Python from the static
+`length`, so each chunk is a static slice; bucket padding is handled by
+masking each chunk's softmaxes.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..utils.inits import xavier_normal, zeros
+from .pool import masked_softmax
+
+
+def pseudo_bag_slices(length: int, group: int):
+    """np.array_split boundaries over range(length) (network.py:165-168)."""
+    sizes = np.full(group, length // group)
+    sizes[: length % group] += 1
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(group)]
+
+
+class _GatedAttention(nn.Module):
+    """V/U gated attention scorer (network.py:108-143)."""
+
+    d: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask=None, normalize=True):
+        av = jnp.tanh(nn.Dense(self.d, kernel_init=xavier_normal,
+                               bias_init=zeros, name="attention_V")(x))
+        au = nn.sigmoid(nn.Dense(self.d, kernel_init=xavier_normal,
+                                 bias_init=zeros, name="attention_U")(x))
+        a = nn.Dense(1, kernel_init=xavier_normal, bias_init=zeros,
+                     name="attention_weights")(av * au)
+        a = jnp.swapaxes(a, -1, -2)          # (1, N)
+        if normalize:
+            a = masked_softmax(a, None if mask is None else mask[None, :])
+        return a
+
+
+class DTFD(nn.Module):
+    input_dim: int = 1024
+    inner_dim: int = 512
+    n_classes: int = 4
+    group: int = 8
+    distill: str = "MaxMinS"             # 'MaxMinS' | 'MaxS' | 'AFS'
+
+    def _dim_reduction(self, x, deterministic):
+        h = nn.Dense(self.inner_dim, use_bias=False,
+                     kernel_init=xavier_normal, name="dim_fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(0.25)(h, deterministic=deterministic)
+        return h
+
+    def _classifier(self, feat, deterministic):
+        feat = nn.Dropout(0.25)(feat, deterministic=deterministic)
+        return nn.Dense(self.n_classes, kernel_init=xavier_normal,
+                        bias_init=zeros, name="classifier_fc")(feat)
+
+    def _classifier_weight(self):
+        return self.get_variable("params", "classifier_fc")["kernel"]
+
+    def _u_classifier(self, feats, deterministic):
+        a = _GatedAttention(name="u_attention")(feats)
+        pooled = a @ feats                   # (1, D)
+        pooled = nn.Dropout(0.25)(pooled, deterministic=deterministic)
+        return nn.Dense(self.n_classes, kernel_init=xavier_normal,
+                        bias_init=zeros, name="u_classifier_fc")(pooled)
+
+    @nn.compact
+    def __call__(self, x, mask=None, length: Optional[int] = None,
+                 labels=None, deterministic: bool = True,
+                 train: bool = False, eval_perm=None):
+        """x: (1, N, D) or (N, D).  Train returns
+        (pseudo_hazards (G,K), pseudo_S (G,K), hazards (1,K), S (1,K));
+        eval returns (hazards, S).  `eval_perm`: the reference shuffles
+        instance indices before eval chunking (network.py:231-233); pass a
+        permutation of range(length) to reproduce, else identity is used.
+        """
+        if x.ndim == 3:
+            x, mask = x[0], (None if mask is None else mask[0])
+        n = x.shape[0] if length is None else length
+        x = x[:n]
+        mask = None if mask is None else mask[:n]
+
+        attn_scorer = _GatedAttention(name="attention")
+        chunks = pseudo_bag_slices(n, self.group)
+
+        if train:
+            pseudo_logits, distilled = [], []
+            for lo, hi in chunks:
+                sub = x[lo:hi]
+                sub_mask = None if mask is None else mask[lo:hi]
+                mid = self._dim_reduction(sub, deterministic)
+                a = attn_scorer(mid, sub_mask)[0]             # (n_c,)
+                att_feats = mid * a[:, None]                  # (n_c, D)
+                pooled = jnp.sum(att_feats, axis=0, keepdims=True)
+                pseudo_logits.append(self._classifier(pooled, deterministic))
+                distilled.append(self._distill(att_feats, mid, pooled,
+                                               sub_mask))
+            pseudo_logits = jnp.concatenate(pseudo_logits, axis=0)  # (G, K)
+            pseudo_hazards = nn.sigmoid(pseudo_logits)
+            pseudo_s = jnp.cumprod(1 - pseudo_hazards, axis=1)
+
+            feats = jnp.concatenate(distilled, axis=0)
+            logits = self._u_classifier(feats, deterministic)
+            hazards = nn.sigmoid(logits)
+            s = jnp.cumprod(1 - hazards, axis=1)
+            return pseudo_hazards, pseudo_s, hazards, s
+
+        # eval path (network.py:226-271): global attention scores, shuffled
+        # chunking, per-chunk softmax over the chunk
+        mid = self._dim_reduction(x, deterministic)
+        raw_a = attn_scorer(mid, mask, normalize=False)[0]    # (N,)
+        perm = jnp.arange(n) if eval_perm is None else jnp.asarray(eval_perm)
+        distilled = []
+        for lo, hi in chunks:
+            idx = perm[lo:hi]
+            tmid = jnp.take(mid, idx, axis=0)
+            ta = jnp.take(raw_a, idx, axis=0)
+            tmask = None if mask is None else jnp.take(mask, idx, axis=0)
+            if tmask is not None:
+                ta = jnp.where(tmask, ta, jnp.finfo(ta.dtype).min)
+            ta = jax.nn.softmax(ta, axis=0)
+            att_feats = tmid * ta[:, None]
+            pooled = jnp.sum(att_feats, axis=0, keepdims=True)
+            distilled.append(self._distill(att_feats, tmid, pooled, tmask))
+        feats = jnp.concatenate(distilled, axis=0)
+        logits = self._u_classifier(feats, deterministic)
+        hazards = nn.sigmoid(logits)
+        return hazards, jnp.cumprod(1 - hazards, axis=1)
+
+    def _distill(self, att_feats, mid, pooled, sub_mask):
+        """CAM-style instance ranking (network.py:192-210): per-instance
+        logits via the tier-1 classifier weight, sorted by the last class's
+        softmax probability."""
+        w = self._classifier_weight()                 # (D, K)
+        inst_logits = att_feats @ w                   # (n_c, K)
+        p_last = jax.nn.softmax(inst_logits, axis=1)[:, -1]
+        if sub_mask is not None:
+            # exclude bucket-pad rows from max/min selection
+            p_max = jnp.where(sub_mask, p_last, -jnp.inf)
+            p_min = jnp.where(sub_mask, p_last, jnp.inf)
+        else:
+            p_max = p_min = p_last
+        i_max = jnp.argmax(p_max)
+        i_min = jnp.argmin(p_min)
+        if self.distill == "MaxMinS":
+            return jnp.stack([mid[i_max], mid[i_min]], axis=0)
+        if self.distill == "MaxS":
+            return mid[i_max][None]
+        return pooled                                  # 'AFS'

@@ -63,6 +63,9 @@ class EngineConfig:
     group_shuffle: bool = False
     shuffle_group: int = 0
     seed: int = 2021
+    exact: bool = False          # pad to true length (no bucketing); needed
+                                 # by TransMIL's wrap-padding; forces bsz=1
+    aux_mode: Optional[str] = None  # None | 'loss' (CLAM) | 'logits' (DSMIL)
 
 
 class Engine:
@@ -88,24 +91,39 @@ class Engine:
 
     # -- model plumbing ----------------------------------------------------
 
-    def _default_apply(self, params, x, mask, length, train, rng):
+    def _default_apply(self, params, x, mask, length, train, rng, labels):
+        kwargs = {}
+        if self.cfg.aux_mode == "loss":
+            kwargs["labels"] = labels if train else None
         out = self.model.apply(
             {"params": params}, x, mask=mask, length=length,
             deterministic=not train,
-            rngs={"dropout": rng} if train else {})
-        if isinstance(out, tuple):
-            logits, aux = out[0], out[1]
-        else:
-            logits, aux = out, 0.0
-        return logits, aux
+            rngs={"dropout": rng} if train else {}, **kwargs)
+        if not isinstance(out, tuple):
+            return out, 0.0
+        if self.cfg.aux_mode == "loss":
+            # (logits, aux_loss[, ps]) -- CLAM (reference main.py:445-447)
+            return out[0], out[1]
+        if self.cfg.aux_mode == "logits":
+            # (logits, aux_logits[, ps]) -- DSMIL max_loss: criterion on the
+            # max-pooled instance logits (reference dsmil.py:126-133)
+            logits, aux_logits = out[0], out[1]
+            aux = self._loss(aux_logits, labels) if labels is not None else 0.0
+            return logits, aux
+        return out[0], 0.0
 
     def init(self, rng: jax.Array, example_length: int, input_dim: int) -> TrainState:
         spec = bucket_for(example_length, self.encoder_cfg)
         x = jnp.zeros((1, spec.data_length, input_dim), jnp.float32)
         mask = jnp.ones((1, spec.data_length), bool)
+        kwargs = {}
+        if self.cfg.aux_mode == "loss":
+            # aux-loss models (CLAM) create their instance-classifier params
+            # only on the labeled path; init must traverse it.
+            kwargs["labels"] = jnp.zeros((1,), jnp.int32)
         variables = self.model.init({"params": rng, "dropout": rng}, x,
                                     mask=mask, length=spec.repr_length,
-                                    deterministic=True)
+                                    deterministic=True, **kwargs)
         params = variables["params"]
         return TrainState(params=params, opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32))
@@ -118,7 +136,8 @@ class Engine:
         cfg = self.cfg
 
         def loss_fn(params):
-            logits, aux = self.apply_fn(params, x, mask, length, True, rng)
+            logits, aux = self.apply_fn(params, x, mask, length, True, rng,
+                                        labels)
             logit_loss = self._loss(logits, labels)
             total = cfg.cls_alpha * logit_loss + cfg.aux_alpha * aux
             return total, (logit_loss, aux)
@@ -139,7 +158,7 @@ class Engine:
     @partial(jax.jit, static_argnames=("self", "length"))
     def _eval_step(self, params, x, mask, labels, length: int):
         logits, _ = self.apply_fn(params, x, mask, length, False,
-                                  jax.random.PRNGKey(0))
+                                  jax.random.PRNGKey(0), None)
         if self.eval_logits_fn is not None:
             logits = self.eval_logits_fn(logits)
         if self.cfg.loss == "ce":
@@ -169,7 +188,12 @@ class Engine:
             bags.append(bag)
             labels.append(label)
             lengths.append(bag.shape[0])
-        spec = bucket_for(max(lengths), self.encoder_cfg)
+        if self.cfg.exact:
+            from ..data.bucketing import BucketSpec
+            l = max(lengths)
+            spec = BucketSpec(key=(l,), repr_length=l, data_length=l)
+        else:
+            spec = bucket_for(max(lengths), self.encoder_cfg)
         xs, masks = zip(*[pad_bag(b, spec.data_length) for b in bags])
         return (jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(masks)),
                 jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
@@ -177,7 +201,7 @@ class Engine:
     def _batched_order(self, dataset, order: Sequence[int]) -> List[List[int]]:
         """Greedy bucket-aware batching that preserves the given order within
         each bucket.  batch_size=1 degenerates to the reference's ordering."""
-        bsz = self.cfg.batch_size
+        bsz = 1 if self.cfg.exact else self.cfg.batch_size
         if bsz <= 1:
             return [[i] for i in order]
         pending: Dict[Tuple, List[int]] = {}

@@ -1,0 +1,96 @@
+"""End-to-end harness tests: CV driver on a synthetic on-disk dataset,
+checkpoint/resume determinism, and zoo models through the engine."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+import main as cli
+from rrtmil_tpu.harness.classification import run_cv
+from rrtmil_tpu.models import zoo
+from rrtmil_tpu.train.engine import Engine, EngineConfig
+from rrtmil_tpu.data.datasets import ArrayDataset
+from rrtmil_tpu.config import RRTEncoderConfig
+
+
+def _write_synthetic_dataset(root, n_patients=12, dim=32, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "pt"), exist_ok=True)
+    signal = rng.normal(size=(dim,))
+    signal /= np.linalg.norm(signal)
+    rows = []
+    for i in range(n_patients):
+        name = f"slide_{i:03d}"
+        label = i % 2
+        length = int(rng.integers(50, 150))
+        bag = rng.normal(size=(length, dim)).astype(np.float32)
+        if label:
+            bag[: max(3, length // 8)] += 2.5 * signal
+        np.save(os.path.join(root, "pt", name + ".npy"), bag)
+        rows.append(f"{name},{label}")
+    with open(os.path.join(root, "label.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def _args(tmp_path, **overrides):
+    args = cli.build_parser().parse_args([])
+    args.dataset_root = str(tmp_path / "data")
+    args.model_path = str(tmp_path / "out")
+    args.input_dim = 32
+    args.cv_fold = 2
+    args.num_epoch = 3
+    args.early_stopping = False
+    args.datasets = "camelyon16"
+    args.no_log = False
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return cli.postprocess_args(args)
+
+
+def test_run_cv_end_to_end(tmp_path):
+    _write_synthetic_dataset(str(tmp_path / "data"))
+    args = _args(tmp_path, epeg_k=9, crmsa_k=1)
+    metrics = run_cv(args)
+    assert len(metrics["auc"]) == 2
+    assert all(0.0 <= a <= 1.0 for a in metrics["auc"])
+    # best-weights + rolling checkpoints exist
+    assert os.path.exists(os.path.join(args.model_path, "ckp.msgpack"))
+    assert os.path.exists(
+        os.path.join(args.model_path, "fold_1_model_best_auc.msgpack"))
+
+
+def test_resume_mid_fold(tmp_path):
+    _write_synthetic_dataset(str(tmp_path / "data"))
+    # full 3-epoch run
+    args_full = _args(tmp_path, epeg_k=9, crmsa_k=1, title="full")
+    m_full = run_cv(args_full)
+
+    # interrupted run: 1 epoch, then resume for remaining 2
+    args_a = _args(tmp_path, epeg_k=9, crmsa_k=1, title="resume",
+                   num_epoch=1)
+    run_cv(args_a)
+    args_b = _args(tmp_path, epeg_k=9, crmsa_k=1, title="resume",
+                   num_epoch=3, auto_resume=True)
+    m_res = run_cv(args_b)
+    assert len(m_res["auc"]) >= 2
+
+
+@pytest.mark.parametrize("name", ["clam_sb", "dsmil", "meanmil", "transmil"])
+def test_zoo_models_train_one_epoch(name):
+    rng = np.random.default_rng(0)
+    bags = [rng.normal(size=(int(rng.integers(40, 120)), 32)).astype(np.float32)
+            for _ in range(6)]
+    labels = [i % 2 for i in range(6)]
+    ds = ArrayDataset(bags, labels)
+    model = zoo.build_model(name, input_dim=32, n_classes=2, dropout=0.0)
+    cfg = EngineConfig(num_epochs=2, aux_mode=zoo.aux_mode(name),
+                       exact=zoo.requires_exact(model))
+    engine = Engine(model, cfg, encoder_cfg=RRTEncoderConfig())
+    state = engine.init(jax.random.PRNGKey(0), 120, 32)
+    state, loss = engine.train_epoch(state, ds, 0, jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+    probs, lbls, eval_loss = engine.evaluate(state.params, ds)
+    assert probs.shape == (6,)
+    assert np.isfinite(eval_loss)
