@@ -1,0 +1,289 @@
+"""Survival experiment harness: 5-fold CV over discrete-hazard models.
+
+Mirrors reference Survival/main.py:16-166: reference-exact seeded splits,
+model factory over the survival zoo, per-fold Engine.learning with
+best-c-index checkpointing, CV_Meter CSV output.
+
+The survival zoo reuses the classification backbones wrapped by
+SurvivalHead (the reference vendors per-model copies; SURVEY.md §2.2 says
+build once).  DTFD and MHIM have their own training protocols and get
+dedicated step functions here.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import RRTEncoderConfig, RRTMILConfig, PoolConfig
+from ..data.bucketing import bucket_for, pad_bag
+from ..data.survival import SurvivalDataset
+from ..models import zoo
+from ..models.dtfd import DTFD
+from ..models.mhim import MHIM, build_keep_mask, cosine_schedule, ema_update, soft_target_ce
+from ..models.survival import SurvivalHead
+from ..train.checkpoint import save_params
+from ..train.engine import TrainState
+from ..train.losses import nll_surv_loss
+from ..train.metrics import concordance_index_censored
+from ..train.optim import lr_at, make_optimizer
+from ..train.surv_engine import SurvivalEngine, SurvivalEngineConfig
+from ..utils.logger import Logger
+
+
+class CVMeter:
+    """CSV results writer (reference Survival/utils/util.py:53-72)."""
+
+    def __init__(self, fold: int = 5):
+        self.fold = fold
+        self.epochs: List = ["epoch"]
+        self.cindex: List = ["cindex"]
+
+    def update(self, score: float, epoch: int):
+        self.epochs.append(epoch)
+        self.cindex.append(round(score, 4))
+
+    def save(self, path: str):
+        vals = self.cindex[1:self.fold + 1]
+        self.cindex.append(round(float(np.mean(vals)), 4))
+        self.cindex.append(round(float(np.std(vals)), 4))
+        header = ["folds"] + [f"fold {i}" for i in range(self.fold)] + \
+            ["mean", "std"]
+        with open(path, "w", newline="") as fp:
+            writer = csv.writer(fp)
+            writer.writerow(header)
+            writer.writerow(self.epochs)
+            writer.writerow(self.cindex)
+
+
+def build_survival_model(name: str, n_features: int, n_classes: int = 4,
+                         epeg_k: int = 15, crmsa_k: int = 3,
+                         confounders=None):
+    """Survival model factory (reference Survival/main.py:70-153)."""
+    name_l = name.lower().replace("-mil", "").replace("_mil", "")
+    enc16 = RRTEncoderConfig(region_num=16, epeg_k=epeg_k, crmsa_k=crmsa_k)
+    if name_l == "rrtmil":
+        cfg = RRTMILConfig(input_dim=n_features, n_classes=n_classes,
+                           encoder=enc16, pool=PoolConfig())
+        return SurvivalHead(zoo.build_model("rrtmil", rrtmil_cfg=cfg)), enc16
+    if name_l == "dtfd":
+        return DTFD(input_dim=n_features, n_classes=n_classes), enc16
+    if name_l == "mhim":
+        return MHIM(input_dim=n_features, n_classes=n_classes), enc16
+    mapping = {"attmil": "attmil", "clam_sb": "clam_sb", "clam_mb": "clam_mb",
+               "dsmil": "dsmil", "transmil": "transmil", "meanmil": "meanmil",
+               "maxmil": "maxmil", "ibmil": "ibmil"}
+    if name_l not in mapping:
+        raise ValueError(f"unknown survival model {name!r}")
+    backbone = zoo.build_model(mapping[name_l], input_dim=n_features,
+                               n_classes=n_classes, confounders=confounders)
+    return SurvivalHead(backbone), enc16
+
+
+# ---------------------------------------------------------------------------
+# DTFD: two-loss single-optimizer step (see models/dtfd.py docstring)
+# ---------------------------------------------------------------------------
+
+class DTFDSurvivalEngine(SurvivalEngine):
+    @partial(jax.jit, static_argnames=("self", "length"), donate_argnums=(1,))
+    def _train_step(self, state, x, mask, label, censorship, lr, rng,
+                    length: int):
+        group = self.model.group
+
+        def loss_fn(params):
+            ph, ps_, hazards, survival = self.model.apply(
+                {"params": params}, x, mask=mask, length=length,
+                deterministic=False, train=True, rngs={"dropout": rng})
+            lbl_g = jnp.broadcast_to(label, (group,))
+            cen_g = jnp.broadcast_to(censorship, (group,))
+            loss0 = self._loss(ph, ps_, lbl_g, cen_g)
+            loss1 = self._loss(hazards, survival, label, censorship)
+            risk = -jnp.sum(survival, axis=-1)
+            return loss0 + loss1, risk
+
+        (loss, risk), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1), loss, risk)
+
+    @partial(jax.jit, static_argnames=("self", "length"))
+    def _eval_step(self, params, x, mask, label, censorship, length: int):
+        hazards, survival = self.model.apply(
+            {"params": params}, x, mask=mask, length=length,
+            deterministic=True, train=False)
+        loss = self._loss(hazards, survival, label, censorship)
+        return loss, -jnp.sum(survival, axis=-1)
+
+    def init(self, rng, example_length, input_dim):
+        spec = bucket_for(example_length, self.encoder_cfg)
+        x = jnp.zeros((1, spec.data_length, input_dim), jnp.float32)
+        mask = jnp.ones((1, spec.data_length), bool)
+        params = self.model.init({"params": rng, "dropout": rng}, x,
+                                 mask=mask, length=spec.repr_length,
+                                 deterministic=True, train=True)["params"]
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# MHIM: teacher/student with EMA + masking schedules
+# ---------------------------------------------------------------------------
+
+class MHIMSurvivalEngine(SurvivalEngine):
+    """Teacher attention -> keep mask -> student step -> EMA update
+    (reference Survival/models/MHIM/{network,engine}.py)."""
+
+    def __init__(self, model: MHIM, cfg: SurvivalEngineConfig,
+                 encoder_cfg=None, niter_per_ep: int = 100,
+                 mask_ratio: float = 0.7, mask_ratio_l: float = 0.2,
+                 mask_ratio_h: float = 0.02, cl_alpha: float = 0.5,
+                 mm: float = 0.9999):
+        super().__init__(model, cfg, encoder_cfg)
+        self.cl_alpha = cl_alpha
+        self.mask_ratio = mask_ratio
+        self.mask_ratio_l = mask_ratio_l
+        self.mrh_sche = cosine_schedule(mask_ratio_h, 0.0, cfg.num_epochs,
+                                        niter_per_ep)
+        self.mm_sche = cosine_schedule(mm, 1.0, cfg.num_epochs, niter_per_ep,
+                                       start_warmup=1.0)
+        self.teacher_params = None
+        self._iter = 0
+
+    def init(self, rng, example_length, input_dim):
+        state = super().init(rng, example_length, input_dim)
+        self.teacher_params = jax.tree.map(jnp.copy, state.params)
+        return state
+
+    @partial(jax.jit, static_argnames=("self", "length", "mask_ratio_h"),
+             donate_argnums=(1,))
+    def _mhim_train_step(self, state, teacher_params, x, mask, label,
+                         censorship, lr, rng, mm, length: int,
+                         mask_ratio_h: float):
+        r_mask, r_drop = jax.random.split(rng)
+        # teacher pass: bag feature + per-instance attention
+        _, tea_feat, tea_attn = self.model.apply(
+            {"params": teacher_params}, x, mask=mask, length=length,
+            deterministic=True, return_attn=True, return_feat=True)
+        keep = build_keep_mask(r_mask, tea_attn[0], length, x.shape[1],
+                               self.mask_ratio, self.mask_ratio_l,
+                               mask_ratio_h)
+
+        def loss_fn(params):
+            logits, stu_feat = self.model.apply(
+                {"params": params}, x, mask=mask, length=length,
+                keep_mask=keep[None], deterministic=False, return_feat=True,
+                rngs={"dropout": r_drop})
+            hazards = jax.nn.sigmoid(logits)
+            survival = jnp.cumprod(1 - hazards, axis=-1)
+            surv_loss = self._loss(hazards, survival, label, censorship)
+            cl = soft_target_ce(stu_feat, tea_feat)
+            risk = -jnp.sum(survival, axis=-1)
+            return surv_loss + self.cl_alpha * cl, risk
+
+        (loss, risk), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        teacher = ema_update(params, teacher_params, mm)
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1), teacher, loss, risk)
+
+    def train_epoch(self, state, dataset, indices, epoch, rng_key):
+        order = list(indices)
+        self._rng.shuffle(order)
+        lr = lr_at(self.cfg.lr_schedule, self.cfg.lr, epoch,
+                   self.cfg.num_epochs)
+        total, risks, censors, times = 0.0, [], [], []
+        for j, idx in enumerate(order):
+            _, bag, event, censorship, label = dataset[idx]
+            x, mask, spec = self._prep(np.asarray(bag))
+            i = min(self._iter, len(self.mrh_sche) - 1)
+            state, self.teacher_params, loss, risk = self._mhim_train_step(
+                state, self.teacher_params, x, mask,
+                jnp.asarray([label], jnp.int32),
+                jnp.asarray([censorship], jnp.float32), jnp.float32(lr),
+                jax.random.fold_in(rng_key, j),
+                jnp.float32(self.mm_sche[i]), spec.repr_length,
+                float(round(float(self.mrh_sche[i]), 4)))
+            self._iter += 1
+            total += float(loss)
+            risks.append(float(risk[0]))
+            censors.append(censorship)
+            times.append(event)
+        ci = concordance_index_censored(1 - np.asarray(censors),
+                                        np.asarray(times), np.asarray(risks))
+        return state, total / max(len(order), 1), ci
+
+    @partial(jax.jit, static_argnames=("self", "length"))
+    def _eval_step(self, params, x, mask, label, censorship, length: int):
+        logits = self.model.apply({"params": params}, x, mask=mask,
+                                  length=length, deterministic=True)
+        hazards = jax.nn.sigmoid(logits)
+        survival = jnp.cumprod(1 - hazards, axis=-1)
+        loss = self._loss(hazards, survival, label, censorship)
+        return loss, -jnp.sum(survival, axis=-1)
+
+
+def make_survival_engine(name: str, model, cfg: SurvivalEngineConfig,
+                         encoder_cfg=None, niter_per_ep: int = 100):
+    name_l = name.lower().replace("-mil", "").replace("_mil", "")
+    if name_l == "dtfd":
+        return DTFDSurvivalEngine(model, cfg, encoder_cfg)
+    if name_l == "mhim":
+        return MHIMSurvivalEngine(model, cfg, encoder_cfg,
+                                  niter_per_ep=niter_per_ep)
+    return SurvivalEngine(model, cfg, encoder_cfg)
+
+
+def run_survival_cv(args) -> CVMeter:
+    """5-fold survival CV (reference Survival/main.py:16-166)."""
+    n_features = 512 if args.folder == "plip" else 1024
+    dataset = SurvivalDataset(args.excel_file, folder=args.folder,
+                              root=getattr(args, "dataset_root", None))
+    meter = CVMeter(fold=5)
+    results_dir = args.results_dir
+    os.makedirs(results_dir, exist_ok=True)
+    logger = Logger(quiet=getattr(args, "no_log", False))
+
+    for fold in range(5):
+        train_idx, val_idx = dataset.get_split(fold)
+        model, enc = build_survival_model(
+            args.model, n_features, n_classes=4,
+            epeg_k=args.epeg_k, crmsa_k=args.crmsa_k)
+        cfg = SurvivalEngineConfig(
+            loss=args.loss, opt=args.optimizer.lower(), lr=args.lr,
+            weight_decay=args.weight_decay, lr_schedule=args.scheduler,
+            num_epochs=args.num_epoch, seed=args.seed)
+        engine = make_survival_engine(args.model, model, cfg, enc,
+                                      niter_per_ep=len(train_idx))
+        example_len = np.asarray(dataset[train_idx[0]][1]).shape[0]
+        state = engine.init(jax.random.PRNGKey(args.seed), example_len,
+                            n_features)
+
+        fold_dir = os.path.join(results_dir, f"fold_{fold}")
+        os.makedirs(fold_dir, exist_ok=True)
+
+        def save_best(epoch, score, params, fold_dir=fold_dir):
+            save_params(os.path.join(
+                fold_dir, f"model_best_{score:.4f}_{epoch}.msgpack"), params)
+
+        score, epoch, _ = engine.learning(state, dataset, train_idx, val_idx,
+                                          logger=logger,
+                                          checkpoint_fn=save_best)
+        logger.print(f"fold {fold}: best c-index {score:.4f} @ epoch {epoch}")
+        meter.update(score, epoch)
+
+    meter.save(os.path.join(results_dir, f"results_{args.model}.csv"))
+    return meter

@@ -12,8 +12,8 @@ The reference hides an optimization inside `forward`
 stepped in the survival variant -- the gradients simply accumulate and the
 engine's single outer Adam applies grad(loss0) + grad(loss_outer).  In JAX
 this becomes the explicit surrogate `total = loss0 + loss_outer` under one
-optimizer: mathematically the identical update (train/surv_engine.py wiring
-in harness/survival.py).
+optimizer: mathematically the identical update (harness/survival.py
+DTFDSurvivalEngine).
 
 Static shapes: the pseudo-bag chunking is computed in Python from the static
 `length`, so each chunk is a static slice; bucket padding is handled by
@@ -21,7 +21,7 @@ masking each chunk's softmaxes.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,22 +41,26 @@ def pseudo_bag_slices(length: int, group: int):
 
 
 class _GatedAttention(nn.Module):
-    """V/U gated attention scorer (network.py:108-143)."""
+    """V/U gated attention scorer (network.py:108-143).  Returns RAW scores
+    (N,); callers softmax with their own masking."""
 
     d: int = 128
 
     @nn.compact
-    def __call__(self, x, mask=None, normalize=True):
+    def __call__(self, x):
         av = jnp.tanh(nn.Dense(self.d, kernel_init=xavier_normal,
                                bias_init=zeros, name="attention_V")(x))
         au = nn.sigmoid(nn.Dense(self.d, kernel_init=xavier_normal,
                                  bias_init=zeros, name="attention_U")(x))
         a = nn.Dense(1, kernel_init=xavier_normal, bias_init=zeros,
                      name="attention_weights")(av * au)
-        a = jnp.swapaxes(a, -1, -2)          # (1, N)
-        if normalize:
-            a = masked_softmax(a, None if mask is None else mask[None, :])
-        return a
+        return a[:, 0]
+
+
+def _masked_softmax_1d(scores, mask):
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    return jax.nn.softmax(scores, axis=0)
 
 
 class DTFD(nn.Module):
@@ -65,28 +69,6 @@ class DTFD(nn.Module):
     n_classes: int = 4
     group: int = 8
     distill: str = "MaxMinS"             # 'MaxMinS' | 'MaxS' | 'AFS'
-
-    def _dim_reduction(self, x, deterministic):
-        h = nn.Dense(self.inner_dim, use_bias=False,
-                     kernel_init=xavier_normal, name="dim_fc1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(0.25)(h, deterministic=deterministic)
-        return h
-
-    def _classifier(self, feat, deterministic):
-        feat = nn.Dropout(0.25)(feat, deterministic=deterministic)
-        return nn.Dense(self.n_classes, kernel_init=xavier_normal,
-                        bias_init=zeros, name="classifier_fc")(feat)
-
-    def _classifier_weight(self):
-        return self.get_variable("params", "classifier_fc")["kernel"]
-
-    def _u_classifier(self, feats, deterministic):
-        a = _GatedAttention(name="u_attention")(feats)
-        pooled = a @ feats                   # (1, D)
-        pooled = nn.Dropout(0.25)(pooled, deterministic=deterministic)
-        return nn.Dense(self.n_classes, kernel_init=xavier_normal,
-                        bias_init=zeros, name="u_classifier_fc")(pooled)
 
     @nn.compact
     def __call__(self, x, mask=None, length: Optional[int] = None,
@@ -104,7 +86,51 @@ class DTFD(nn.Module):
         x = x[:n]
         mask = None if mask is None else mask[:n]
 
-        attn_scorer = _GatedAttention(name="attention")
+        # shared submodules / params (created once; reused per pseudo-bag)
+        dim_fc = nn.Dense(self.inner_dim, use_bias=False,
+                          kernel_init=xavier_normal, name="dim_fc1")
+        dim_drop = nn.Dropout(0.25)
+        attn = _GatedAttention(name="attention")
+        w_clf = self.param("classifier_kernel", xavier_normal,
+                           (self.inner_dim, self.n_classes))
+        b_clf = self.param("classifier_bias", zeros, (self.n_classes,))
+        clf_drop = nn.Dropout(0.25)
+        u_attn = _GatedAttention(name="u_attention")
+        u_drop = nn.Dropout(0.25)
+        u_fc = nn.Dense(self.n_classes, kernel_init=xavier_normal,
+                        bias_init=zeros, name="u_classifier_fc")
+
+        def dim_reduce(sub):
+            h = nn.relu(dim_fc(sub))
+            return dim_drop(h, deterministic=deterministic)
+
+        def classify(feat):
+            return clf_drop(feat, deterministic=deterministic) @ w_clf + b_clf
+
+        def u_classify(feats):
+            a = jax.nn.softmax(u_attn(feats), axis=0)
+            pooled = (a[None, :] @ feats)
+            pooled = u_drop(pooled, deterministic=deterministic)
+            return u_fc(pooled)
+
+        def distill(att_feats, mid, pooled, sub_mask):
+            """CAM-style ranking by the tier-1 classifier weight
+            (network.py:192-210)."""
+            inst_logits = att_feats @ w_clf              # (n_c, K)
+            p_last = jax.nn.softmax(inst_logits, axis=1)[:, -1]
+            if sub_mask is not None:
+                p_max = jnp.where(sub_mask, p_last, -jnp.inf)
+                p_min = jnp.where(sub_mask, p_last, jnp.inf)
+            else:
+                p_max = p_min = p_last
+            i_max = jnp.argmax(p_max)
+            i_min = jnp.argmin(p_min)
+            if self.distill == "MaxMinS":
+                return jnp.stack([mid[i_max], mid[i_min]], axis=0)
+            if self.distill == "MaxS":
+                return mid[i_max][None]
+            return pooled                                 # 'AFS'
+
         chunks = pseudo_bag_slices(n, self.group)
 
         if train:
@@ -112,27 +138,26 @@ class DTFD(nn.Module):
             for lo, hi in chunks:
                 sub = x[lo:hi]
                 sub_mask = None if mask is None else mask[lo:hi]
-                mid = self._dim_reduction(sub, deterministic)
-                a = attn_scorer(mid, sub_mask)[0]             # (n_c,)
-                att_feats = mid * a[:, None]                  # (n_c, D)
+                mid = dim_reduce(sub)
+                a = _masked_softmax_1d(attn(mid), sub_mask)   # (n_c,)
+                att_feats = mid * a[:, None]
                 pooled = jnp.sum(att_feats, axis=0, keepdims=True)
-                pseudo_logits.append(self._classifier(pooled, deterministic))
-                distilled.append(self._distill(att_feats, mid, pooled,
-                                               sub_mask))
+                pseudo_logits.append(classify(pooled))
+                distilled.append(distill(att_feats, mid, pooled, sub_mask))
             pseudo_logits = jnp.concatenate(pseudo_logits, axis=0)  # (G, K)
             pseudo_hazards = nn.sigmoid(pseudo_logits)
             pseudo_s = jnp.cumprod(1 - pseudo_hazards, axis=1)
 
             feats = jnp.concatenate(distilled, axis=0)
-            logits = self._u_classifier(feats, deterministic)
+            logits = u_classify(feats)
             hazards = nn.sigmoid(logits)
-            s = jnp.cumprod(1 - hazards, axis=1)
-            return pseudo_hazards, pseudo_s, hazards, s
+            return (pseudo_hazards, pseudo_s, hazards,
+                    jnp.cumprod(1 - hazards, axis=1))
 
-        # eval path (network.py:226-271): global attention scores, shuffled
-        # chunking, per-chunk softmax over the chunk
-        mid = self._dim_reduction(x, deterministic)
-        raw_a = attn_scorer(mid, mask, normalize=False)[0]    # (N,)
+        # eval path (network.py:226-271): global raw attention, (optionally
+        # shuffled) chunking, per-chunk softmax
+        mid = dim_reduce(x)
+        raw_a = attn(mid)                                  # (N,)
         perm = jnp.arange(n) if eval_perm is None else jnp.asarray(eval_perm)
         distilled = []
         for lo, hi in chunks:
@@ -140,34 +165,11 @@ class DTFD(nn.Module):
             tmid = jnp.take(mid, idx, axis=0)
             ta = jnp.take(raw_a, idx, axis=0)
             tmask = None if mask is None else jnp.take(mask, idx, axis=0)
-            if tmask is not None:
-                ta = jnp.where(tmask, ta, jnp.finfo(ta.dtype).min)
-            ta = jax.nn.softmax(ta, axis=0)
+            ta = _masked_softmax_1d(ta, tmask)
             att_feats = tmid * ta[:, None]
             pooled = jnp.sum(att_feats, axis=0, keepdims=True)
-            distilled.append(self._distill(att_feats, tmid, pooled, tmask))
+            distilled.append(distill(att_feats, tmid, pooled, tmask))
         feats = jnp.concatenate(distilled, axis=0)
-        logits = self._u_classifier(feats, deterministic)
+        logits = u_classify(feats)
         hazards = nn.sigmoid(logits)
         return hazards, jnp.cumprod(1 - hazards, axis=1)
-
-    def _distill(self, att_feats, mid, pooled, sub_mask):
-        """CAM-style instance ranking (network.py:192-210): per-instance
-        logits via the tier-1 classifier weight, sorted by the last class's
-        softmax probability."""
-        w = self._classifier_weight()                 # (D, K)
-        inst_logits = att_feats @ w                   # (n_c, K)
-        p_last = jax.nn.softmax(inst_logits, axis=1)[:, -1]
-        if sub_mask is not None:
-            # exclude bucket-pad rows from max/min selection
-            p_max = jnp.where(sub_mask, p_last, -jnp.inf)
-            p_min = jnp.where(sub_mask, p_last, jnp.inf)
-        else:
-            p_max = p_min = p_last
-        i_max = jnp.argmax(p_max)
-        i_min = jnp.argmin(p_min)
-        if self.distill == "MaxMinS":
-            return jnp.stack([mid[i_max], mid[i_min]], axis=0)
-        if self.distill == "MaxS":
-            return mid[i_max][None]
-        return pooled                                  # 'AFS'

@@ -1,0 +1,185 @@
+"""Survival stack tests: quantile binning vs pandas, loss parity vs the
+reference formulas, splits, and end-to-end fold training for the survival
+zoo including DTFD and MHIM."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rrtmil_tpu.config import RRTEncoderConfig, RRTMILConfig, PoolConfig
+from rrtmil_tpu.data.survival import ArraySurvivalDataset, quantile_bins
+from rrtmil_tpu.harness.survival import (CVMeter, DTFDSurvivalEngine,
+                                         MHIMSurvivalEngine,
+                                         build_survival_model,
+                                         make_survival_engine)
+from rrtmil_tpu.models import zoo
+from rrtmil_tpu.models.dtfd import DTFD, pseudo_bag_slices
+from rrtmil_tpu.models.mhim import MHIM, build_keep_mask, cosine_schedule
+from rrtmil_tpu.models.survival import SurvivalHead
+from rrtmil_tpu.train.losses import nll_surv_loss
+from rrtmil_tpu.train.surv_engine import SurvivalEngine, SurvivalEngineConfig
+
+
+def test_quantile_bins_matches_pandas():
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(0)
+    event = rng.uniform(1, 2000, 120)
+    status = rng.integers(0, 2, 120)
+    got = quantile_bins(event, status)
+
+    rows = pd.DataFrame({"Event": event, "Status": status})
+    unc = rows[rows["Status"] == 1]
+    _, q_bins = pd.qcut(unc["Event"], q=4, retbins=True, labels=False)
+    q_bins[-1] = rows["Event"].max() + 1e-6
+    q_bins[0] = rows["Event"].min() - 1e-6
+    want, _ = pd.cut(rows["Event"], bins=q_bins, retbins=True, labels=False,
+                     right=False, include_lowest=True)
+    want = want.values.astype(int)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nll_surv_matches_reference_formula():
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference/Survival")
+    from utils.loss import nll_loss
+
+    rng = np.random.default_rng(1)
+    hazards = rng.uniform(0.05, 0.95, (3, 4)).astype(np.float32)
+    survival = np.cumprod(1 - hazards, axis=1).astype(np.float32)
+    labels = np.array([0, 2, 3])
+    cens = np.array([0.0, 1.0, 0.0], np.float32)
+
+    want = nll_loss(torch.tensor(hazards), torch.tensor(survival),
+                    torch.tensor(labels), torch.tensor(cens), alpha=0.0)
+    got = nll_surv_loss(jnp.asarray(hazards), jnp.asarray(survival),
+                        jnp.asarray(labels), jnp.asarray(cens), alpha=0.0)
+    np.testing.assert_allclose(float(got), float(want), atol=1e-6)
+
+
+def test_split_matches_reference_sampling():
+    import random
+    ds = ArraySurvivalDataset(
+        [np.zeros((5, 8), np.float32)] * 23,
+        events=np.arange(23) + 1.0, status=[1] * 23)
+    tr, va = ds.get_split(0)
+    # reference logic re-derived inline (TCGA_Survival.py:21-33)
+    rng = random.Random(1)
+    sample_index = rng.sample(range(23), 23)
+    num_split = round(22 * 0.2)
+    val_ref = sample_index[:num_split]
+    assert va == val_ref
+    assert set(tr) | set(va) == set(range(23))
+    tr1, va1 = ds.get_split(4)
+    assert set(tr1) | set(va1) == set(range(23))
+
+
+def _surv_dataset(n=16, dim=32, seed=0):
+    rng = np.random.default_rng(seed)
+    bags, events, status = [], [], []
+    signal = rng.normal(size=(dim,))
+    signal /= np.linalg.norm(signal)
+    for i in range(n):
+        length = int(rng.integers(40, 150))
+        bag = rng.normal(size=(length, dim)).astype(np.float32)
+        risk = rng.uniform()
+        bag[: max(2, int(length * 0.1))] += 3.0 * risk * signal
+        bags.append(bag)
+        events.append(float(2000 * (1.05 - risk) + rng.uniform(0, 50)))
+        status.append(int(rng.uniform() < 0.7))
+    return ArraySurvivalDataset(bags, events, status)
+
+
+def test_survival_engine_rrtmil():
+    ds = _surv_dataset()
+    model, enc = build_survival_model("RRTMIL", n_features=32, epeg_k=9,
+                                      crmsa_k=1)
+    cfg = SurvivalEngineConfig(num_epochs=3)
+    engine = SurvivalEngine(model, cfg, enc)
+    state = engine.init(jax.random.PRNGKey(0), 150, 32)
+    idx = list(range(len(ds)))
+    score, epoch, params = engine.learning(state, ds, idx[:12], idx[12:])
+    assert 0.0 <= score <= 1.0
+
+
+@pytest.mark.parametrize("name", ["AttMIL", "MeanMIL", "DSMIL"])
+def test_survival_zoo_one_epoch(name):
+    ds = _surv_dataset(n=6)
+    model, enc = build_survival_model(name, n_features=32)
+    engine = make_survival_engine(name, model,
+                                  SurvivalEngineConfig(num_epochs=1), enc)
+    state = engine.init(jax.random.PRNGKey(0), 150, 32)
+    idx = list(range(len(ds)))
+    state, loss, ci = engine.train_epoch(state, ds, idx, 0,
+                                         jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+    val_loss, val_ci = engine.validate(state.params, ds, idx)
+    assert np.isfinite(val_loss) and 0.0 <= val_ci <= 1.0
+
+
+def test_dtfd_engine():
+    ds = _surv_dataset(n=6)
+    model, enc = build_survival_model("DTFD", n_features=32)
+    engine = make_survival_engine("DTFD", model,
+                                  SurvivalEngineConfig(num_epochs=1), enc)
+    state = engine.init(jax.random.PRNGKey(0), 150, 32)
+    idx = list(range(len(ds)))
+    state, loss, ci = engine.train_epoch(state, ds, idx, 0,
+                                         jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+    val_loss, val_ci = engine.validate(state.params, ds, idx)
+    assert np.isfinite(val_loss)
+
+
+def test_mhim_engine_and_ema():
+    ds = _surv_dataset(n=6)
+    model, enc = build_survival_model("MHIM-MIL", n_features=32)
+    engine = make_survival_engine("MHIM-MIL", model,
+                                  SurvivalEngineConfig(num_epochs=2), enc,
+                                  niter_per_ep=6)
+    state = engine.init(jax.random.PRNGKey(0), 150, 32)
+    teacher0 = jax.tree.map(np.asarray, engine.teacher_params)
+    idx = list(range(len(ds)))
+    state, loss, ci = engine.train_epoch(state, ds, idx, 0,
+                                         jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+    # teacher moved (EMA with mm<1 at warmup start)
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(teacher0),
+                        jax.tree.leaves(jax.tree.map(np.asarray,
+                                                     engine.teacher_params))))
+    assert moved
+    val_loss, val_ci = engine.validate(state.params, ds, idx)
+    assert np.isfinite(val_loss)
+
+
+def test_pseudo_bag_slices_match_array_split():
+    for n in (100, 97, 16):
+        want = [(int(c[0]), int(c[-1]) + 1) if len(c) else (0, 0)
+                for c in np.array_split(np.arange(n), 8)]
+        got = pseudo_bag_slices(n, 8)
+        assert got == want
+
+
+def test_keep_mask_counts():
+    attn = jnp.asarray(np.random.default_rng(0).normal(size=(200,)))
+    keep = build_keep_mask(jax.random.PRNGKey(0), attn, length=150,
+                           total_len=200, mask_ratio=0.5, mask_ratio_l=0.2,
+                           mask_ratio_h=0.02)
+    keep = np.asarray(keep)
+    assert not keep[150:].any()          # pad rows never kept
+    # at least ceil(150*0.5) dropped, at most all but a handful kept
+    assert keep.sum() <= 150 - int(np.ceil(150 * 0.5)) + 1
+    assert keep.sum() > 0
+
+
+def test_cv_meter(tmp_path):
+    meter = CVMeter()
+    for f in range(5):
+        meter.update(0.6 + 0.01 * f, f)
+    path = str(tmp_path / "results.csv")
+    meter.save(path)
+    content = open(path).read()
+    assert "mean" in content and "cindex" in content
