@@ -24,6 +24,11 @@ class RegionConfig:
     region_size: int = 0      # >0: fixed region side, region_num derived instead
     min_region_num: int = 0   # fall back to near-global attention below this L
     min_region_ratio: float = 0.0  # fall back when pad > L/(ratio+1e-8)
+    # Sequence parallelism (parallel/seqshard.py): when sp_shards > 1 the
+    # module runs inside shard_map on a contiguous slab of grid rows; the
+    # CR-MSA all-gathers its compressed tokens over `sp_axis`.
+    sp_shards: int = 1
+    sp_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,11 +168,14 @@ class RRTEncoderConfig:
     mlp_ratio: float = 4.0
     trans_dim: int = 64       # head_dim for the 'ntrans' ablation only
     pos: PosEmbedConfig = PosEmbedConfig()
+    sp_shards: int = 1        # sequence-parallel shards (parallel/seqshard.py)
+    sp_axis: Optional[str] = None
 
     def rmsa_layer(self) -> TransLayerConfig:
         region = RegionConfig(
             region_num=self.region_num, region_size=self.region_size,
-            min_region_num=self.min_region_num, min_region_ratio=self.min_region_ratio)
+            min_region_num=self.min_region_num, min_region_ratio=self.min_region_ratio,
+            sp_shards=self.sp_shards, sp_axis=self.sp_axis)
         attn = InnerAttentionConfig(
             dim=self.dim, num_heads=self.n_heads, head_dim=self.dim // self.n_heads,
             qkv_bias=self.qkv_bias, proj_dropout=self.dropout,
@@ -186,7 +194,8 @@ class RRTEncoderConfig:
         # Reference rrt.py:148 builds the CR-MSA TransLayer WITHOUT epeg or
         # n_region kwargs -> TransLayer defaults: epeg=False, n_region=8.
         region = RegionConfig(region_num=8, region_size=0,
-                              min_region_num=0, min_region_ratio=0.0)
+                              min_region_num=0, min_region_ratio=0.0,
+                              sp_shards=self.sp_shards, sp_axis=self.sp_axis)
         attn = InnerAttentionConfig(
             dim=self.dim, num_heads=self.crmsa_heads,
             head_dim=self.dim // self.crmsa_heads,

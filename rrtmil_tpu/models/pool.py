@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,6 +30,26 @@ def masked_softmax(logits: jnp.ndarray, mask: Optional[jnp.ndarray],
     return nn.softmax(logits, axis=axis)
 
 
+def sharded_attention_pool(scores, x, mask, axis_name):
+    """Attention pooling when tokens are sharded over `axis_name`: a stable
+    global softmax via pmax/psum of partial numerators -- numerically equal
+    to pooling the full sequence on one device."""
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :], scores,
+                           jnp.finfo(scores.dtype).min)
+    m_local = jnp.max(scores, axis=-1, keepdims=True)
+    # softmax is shift-invariant, so the global max is purely a numerical
+    # stabilizer; stop_gradient makes it differentiable (pmax has no VJP)
+    # without changing any derivative.
+    m = jax.lax.stop_gradient(jax.lax.pmax(m_local, axis_name))
+    e = jnp.exp(scores - m)
+    if mask is not None:
+        e = e * mask[:, None, :].astype(e.dtype)
+    num = jax.lax.psum(e @ x, axis_name)           # (B, 1, C)
+    den = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), axis_name)
+    return num / den
+
+
 class Attention(nn.Module):
     """2-layer attention scorer L=512 -> D=128 -> K=1 (datten.py:5-38)."""
 
@@ -36,6 +57,7 @@ class Attention(nn.Module):
     act: str = "relu"
     bias: bool = False
     dropout: bool = False
+    axis_name: Optional[str] = None   # set under sequence sharding
 
     @nn.compact
     def __call__(self, x, mask=None, no_norm: bool = False,
@@ -49,6 +71,9 @@ class Attention(nn.Module):
                      bias_init=zeros, name="fc2")(a)
         a = jnp.swapaxes(a, -1, -2)          # (B, 1, N)
         a_ori = a
+        if self.axis_name is not None:
+            out = sharded_attention_pool(a, x, mask, self.axis_name)
+            return out, a_ori
         a = masked_softmax(a, None if mask is None else mask[:, None, :])
         out = a @ x                           # (B, 1, C)
         return out, (a_ori if no_norm else a)
@@ -91,13 +116,19 @@ class DAttention(nn.Module):
     gated: bool = False
     bias: bool = False
     dropout: bool = False
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask=None, return_attn: bool = False,
                  no_norm: bool = False, deterministic: bool = True):
-        cls = AttentionGated if self.gated else Attention
-        out, attn = cls(self.input_dim, self.act, self.bias, self.dropout,
-                        name="attention")(x, mask, no_norm, deterministic)
+        if self.gated:
+            mod = AttentionGated(self.input_dim, self.act, self.bias,
+                                 self.dropout, name="attention")
+        else:
+            mod = Attention(self.input_dim, self.act, self.bias,
+                            self.dropout, axis_name=self.axis_name,
+                            name="attention")
+        out, attn = mod(x, mask, no_norm, deterministic)
         out = jnp.squeeze(out, axis=1)
         if return_attn:
             return out, jnp.squeeze(attn, axis=1)

@@ -223,10 +223,25 @@ class RegionAttention(nn.Module):
         length = n_in if length is None else length
         geom = grid_geometry(length, self.cfg.region)
         rs = geom.region_size
+        sp = self.cfg.region.sp_shards
 
-        x = _fit_length(x, geom.padded_length)
-        x = x.reshape(b, geom.grid, geom.grid, c)
-        regions = region_partition(x, rs)          # (B*nR, rs*rs, C)
+        if sp > 1:
+            # Inside shard_map: x is a contiguous slab of grid rows.  R-MSA
+            # never crosses region boundaries, so whole region-rows per shard
+            # make the computation embarrassingly parallel and EXACT
+            # (parallel/seqshard.py; SURVEY.md §2.5).
+            if geom.grid % (sp * rs) != 0:
+                raise ValueError(
+                    f"seqshard: grid {geom.grid} must split into whole "
+                    f"region-rows across sp={sp} (region_size={rs})")
+            rows_local = geom.grid // sp
+            x = _fit_length(x, rows_local * geom.grid)
+            x = x.reshape(b, rows_local, geom.grid, c)
+            regions = region_partition(x, rs)
+        else:
+            x = _fit_length(x, geom.padded_length)
+            x = x.reshape(b, geom.grid, geom.grid, c)
+            regions = region_partition(x, rs)      # (B*nR, rs*rs, C)
 
         if self.cfg.region_attn == "ntrans":
             regions = NystromAttention(self.cfg.nystrom, name="attn")(
@@ -235,7 +250,10 @@ class RegionAttention(nn.Module):
             regions = InnerAttention(self.cfg.attn, name="attn")(
                 regions, deterministic=deterministic)
 
-        out = region_reverse(regions, rs, geom.grid, geom.grid)  # (B, H*W, C)
+        if sp > 1:
+            out = region_reverse(regions, rs, geom.grid // sp, geom.grid)
+        else:
+            out = region_reverse(regions, rs, geom.grid, geom.grid)
         return _fit_length(out, n_in)
 
 
@@ -261,9 +279,21 @@ class CrossRegionAttention(nn.Module):
         p = geom.tokens_per_region
         kk = cfg.crmsa_k
 
-        x = _fit_length(x, geom.padded_length)
-        x = x.reshape(b, geom.grid, geom.grid, c)
-        regions = region_partition(x, rs).reshape(b, nr, p, c)
+        sp = cfg.region.sp_shards
+        if sp > 1:
+            if geom.grid % (sp * rs) != 0:
+                raise ValueError(
+                    f"seqshard: grid {geom.grid} must split into whole "
+                    f"region-rows across sp={sp} (region_size={rs})")
+            nr_local = nr // sp
+            x = _fit_length(x, (geom.grid // sp) * geom.grid)
+            x = x.reshape(b, geom.grid // sp, geom.grid, c)
+            regions = region_partition(x, rs).reshape(b, nr_local, p, c)
+            nr = nr_local
+        else:
+            x = _fit_length(x, geom.padded_length)
+            x = x.reshape(b, geom.grid, geom.grid, c)
+            regions = region_partition(x, rs).reshape(b, nr, p, c)
 
         # phi logits: (B, nR, k, P) (rmsa.py:304-307)
         if cfg.crmsa_mlp:
@@ -287,17 +317,32 @@ class CrossRegionAttention(nn.Module):
         # Compress: (B, k, nR, C) representative tokens (rmsa.py:316).
         reps = jnp.einsum("brpc,brkp->bkrc", regions, combine)
 
-        # One MHSA across regions: batch B*k, sequence nR (rmsa.py:319-322).
-        reps = reps.reshape(b * kk, nr, c)
-        reps = InnerAttention(cfg.attn, name="attn")(
-            reps, deterministic=deterministic)
-        reps = reps.reshape(b, kk, nr, c)
+        if sp > 1:
+            # The ONLY cross-shard op of the model: all-gather the tiny
+            # compressed tokens (k per region) over ICI, attend across the
+            # full region set replicated, keep the local slice.
+            nr_full = nr * sp
+            reps = jax.lax.all_gather(reps, cfg.region.sp_axis, axis=2,
+                                      tiled=True)            # (B,k,nR_full,C)
+            reps = reps.reshape(b * kk, nr_full, c)
+            reps = InnerAttention(cfg.attn, name="attn")(
+                reps, deterministic=deterministic)
+            reps = reps.reshape(b, kk, nr_full, c)
+            shard = jax.lax.axis_index(cfg.region.sp_axis)
+            reps = jax.lax.dynamic_slice_in_dim(reps, shard * nr, nr, axis=2)
+        else:
+            # One MHSA across regions: batch B*k, sequence nR (rmsa.py:319-322).
+            reps = reps.reshape(b * kk, nr, c)
+            reps = InnerAttention(cfg.attn, name="attn")(
+                reps, deterministic=deterministic)
+            reps = reps.reshape(b, kk, nr, c)
 
         # Redistribute (rmsa.py:324-325).
         out = jnp.einsum("bkrc,brkp->brpc", reps, dispatch_mm * dispatch)
 
+        h_rows = geom.grid // sp if sp > 1 else geom.grid
         out = region_reverse(out.reshape(b * nr, p, c), rs,
-                             geom.grid, geom.grid)
+                             h_rows, geom.grid)
         return _fit_length(out, n_in)
 
 
@@ -440,7 +485,10 @@ class RRTMIL(nn.Module):
 
         if cfg.pool.kind == "attn":
             pool = DAttention(cfg.encoder.dim, cfg.pool.act, cfg.pool.gated,
-                              cfg.pool.bias, cfg.pool.dropout, name="pool_fn")
+                              cfg.pool.bias, cfg.pool.dropout,
+                              axis_name=cfg.encoder.sp_axis
+                              if cfg.encoder.sp_shards > 1 else None,
+                              name="pool_fn")
             if return_attn:
                 feat, attn = pool(x, mask=mask, return_attn=True,
                                   no_norm=no_norm, deterministic=deterministic)

@@ -1,0 +1,145 @@
+"""Hand-scheduled sequence parallelism over the region axis (shard_map).
+
+The reference scales long bags *algorithmically in one device's memory*
+(region_num=16 for survival, reference README.md:61, Survival/main.py:125);
+this module is the multi-chip generalization (SURVEY.md §2.5/§5.7):
+
+  * the bag's square grid is split into contiguous slabs of grid ROWS, one
+    per `sp` shard, aligned to whole region-rows -- R-MSA attention never
+    crosses region boundaries, so every R-MSA layer is embarrassingly
+    parallel and bit-exact;
+  * CR-MSA compresses each region to `crmsa_k` representative tokens; the
+    only collective is an all-gather of those tokens over ICI
+    (crmsa_k * nR * C floats, e.g. 3*256*512*4 B = 1.5 MB for a 50k-patch
+    bag) -- the cross-region attention is then computed replicated and each
+    shard keeps its slice (models/rrt.py CrossRegionAttention sp path);
+  * attention pooling uses a pmax/psum-stable global softmax
+    (models/pool.py sharded_attention_pool).
+
+Grid-matching note: the sharded path evaluates BOTH the R-MSA and CR-MSA
+layers on the unified `region_num`-aligned grid.  For bag lengths whose
+ceil-sqrt side rounds identically for region_num and the CR-MSA's fixed
+modulus 8 (always true when the bucket representative side is a multiple of
+16), this is bit-identical to the reference; otherwise the CR-MSA sees a
+slightly larger zero-padded grid (zeros attend, as the reference's own pad
+does) -- a controlled deviation flagged in SURVEY.md §7.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import RRTEncoderConfig, RRTMILConfig
+from ..models.rrt import RRTMIL, RRTEncoder
+from ..ops.regions import grid_geometry
+
+
+def sharded_config(cfg, sp: int, axis: str = "sp"):
+    """Return a copy of an RRTEncoderConfig / RRTMILConfig with the
+    sequence-parallel fields set."""
+    if isinstance(cfg, RRTMILConfig):
+        return dataclasses.replace(
+            cfg, encoder=sharded_config(cfg.encoder, sp, axis))
+    return dataclasses.replace(cfg, sp_shards=sp, sp_axis=axis)
+
+
+def check_shardable(length: int, cfg: RRTEncoderConfig, sp: int) -> int:
+    """Validate that a bag of `length` splits into whole region-rows on
+    every layer; returns the (unified) padded length."""
+    geoms = []
+    if cfg.n_layers > 1 and cfg.attn_mode == "rmsa":
+        geoms.append(grid_geometry(length, cfg.rmsa_layer().rmsa.region))
+    if cfg.cr_msa:
+        geoms.append(grid_geometry(length, cfg.crmsa_layer().crmsa.region))
+    grid = max(g.grid for g in geoms)
+    for g in geoms:
+        if grid % (sp * g.region_size) != 0:
+            raise ValueError(
+                f"length {length}: grid {grid} not divisible into whole "
+                f"region-rows (rs={g.region_size}) across sp={sp}")
+    return grid * grid
+
+
+def make_seqshard_forward(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
+                          sp_axis: str = "sp"):
+    """Build (model, jitted forward) running the full RRTMIL with the token
+    axis sharded over `sp_axis` (and bags over 'dp' if present in the mesh).
+
+    The returned forward takes (params, x, mask) with x: (B, N, C) GLOBAL
+    arrays; shard_map splits the token axis.  N must equal the unified
+    padded length from `check_shardable`.
+    """
+    sp = mesh.shape[sp_axis]
+    cfg = sharded_config(model_cfg, sp, sp_axis)
+    model = RRTMIL(cfg)
+    n_pad = check_shardable(length, cfg.encoder, sp)
+
+    has_dp = "dp" in mesh.shape and mesh.shape["dp"] > 1
+    batch_spec = P("dp") if has_dp else P()
+    x_spec = P(batch_spec[0] if has_dp else None, sp_axis, None)
+    m_spec = P(batch_spec[0] if has_dp else None, sp_axis)
+
+    def local_forward(params, x_local, mask_local):
+        out = model.apply({"params": params}, x_local, mask=mask_local,
+                          length=length, deterministic=True)
+        return out
+
+    fwd = shard_map(
+        local_forward, mesh=mesh,
+        in_specs=(P(), x_spec, m_spec),
+        out_specs=batch_spec,
+        
+    )
+    return model, jax.jit(fwd), n_pad
+
+
+def make_seqshard_train_step(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
+                             tx, loss_fn, sp_axis: str = "sp"):
+    """Sequence-sharded training step: forward/backward through shard_map
+    (gradients of replicated params are psum-reduced by shard_map's
+    transpose), optimizer update replicated."""
+    import optax
+    from ..train.engine import TrainState
+
+    sp = mesh.shape[sp_axis]
+    cfg = sharded_config(model_cfg, sp, sp_axis)
+    model = RRTMIL(cfg)
+    n_pad = check_shardable(length, cfg.encoder, sp)
+
+    has_dp = "dp" in mesh.shape and mesh.shape["dp"] > 1
+    bdim = "dp" if has_dp else None
+    x_spec = P(bdim, sp_axis, None)
+    m_spec = P(bdim, sp_axis)
+    l_spec = P(bdim)
+
+    def local_loss(params, x_local, mask_local, labels, rng):
+        logits = model.apply({"params": params}, x_local, mask=mask_local,
+                             length=length, deterministic=False,
+                             rngs={"dropout": rng})
+        loss = loss_fn(logits, labels)
+        if has_dp:
+            loss = jax.lax.pmean(loss, "dp")
+        return loss
+
+    def step(state: TrainState, x, mask, labels, lr, rng):
+        def wrapped(params):
+            return shard_map(
+                partial(local_loss, params), mesh=mesh,
+                in_specs=(x_spec, m_spec, l_spec, P()),
+                out_specs=P(),
+            )(x, mask, labels, rng)
+
+        loss, grads = jax.value_and_grad(wrapped)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    return model, jax.jit(step), n_pad
