@@ -41,7 +41,7 @@ def sharded_attention_pool(scores, x, mask, axis_name):
     # softmax is shift-invariant, so the global max is purely a numerical
     # stabilizer; stop_gradient makes it differentiable (pmax has no VJP)
     # without changing any derivative.
-    m = jax.lax.stop_gradient(jax.lax.pmax(m_local, axis_name))
+    m = jax.lax.pmax(jax.lax.stop_gradient(m_local), axis_name)
     e = jnp.exp(scores - m)
     if mask is not None:
         e = e * mask[:, None, :].astype(e.dtype)
