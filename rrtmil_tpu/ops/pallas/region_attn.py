@@ -134,10 +134,8 @@ def _fwd(q, k, v, w, b, scale):
 
 def _bwd(scale, residuals, g):
     q, k, v, w, b = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v, w, b: _fused_fwd_xla(q, k, v, w, b, scale=scale),
-        q, k, v, w, b)
-    return vjp(g)
+    from .region_attn_bwd import region_attention_bwd_pallas
+    return region_attention_bwd_pallas(q, k, v, w, b, g, scale=scale)
 
 
 region_attention_fused.defvjp(_fwd, _bwd)

@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: fused backward for region attention + EPEG.
+
+Differentiates the forward of ops/pallas/region_attn.py:
+
+    L   = (q * scale) @ k^T
+    Lc  = L + conv_k(L) + b          (depthwise (k,1) conv over query axis)
+    A   = softmax(Lc)
+    out = A @ v
+
+Given g = d(out), per (region, head) tile entirely in VMEM:
+
+    dv  = A^T g
+    dA  = g v^T
+    dLc = A * (dA - rowsum(dA * A))              (softmax backward)
+    dL  = dLc + conv_k^T(dLc)                    (transposed conv = taps with
+                                                  negated offsets)
+    dq  = scale * dL k
+    dk  = dL^T (q * scale)
+    dw[t] = sum_ij dLc[i, j] * L[i + t - pad, j] (accumulated across regions)
+    db  = sum_ij dLc                             (accumulated across regions)
+
+The dw/db accumulation uses the revisited-output-block pattern: their block
+index map is constant along the region grid axis, so the same VMEM buffer
+persists across the r-loop and is zero-initialized at r == 0.
+
+Recomputing L from q/k (flash-attention style) keeps residuals at O(P*hd)
+instead of materializing the (R, H, P, P) probability tensor in HBM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_rows(mat, d: int):
+    """Rows shifted by d along axis 0, zero-filled (static d)."""
+    p = mat.shape[0]
+    if d == 0:
+        return mat
+    if d < 0:
+        return jnp.concatenate(
+            [jnp.zeros((-d, mat.shape[1]), jnp.float32), mat[: p + d]], axis=0)
+    return jnp.concatenate(
+        [mat[d:], jnp.zeros((d, mat.shape[1]), jnp.float32)], axis=0)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dw_ref, db_ref,
+                *, kk: int, scale: float, has_bias: bool):
+    head = pl.program_id(1)
+    r = pl.program_id(0)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+    p = q.shape[0]
+    pad = kk // 2
+
+    # recompute forward logits / probabilities
+    logits = jax.lax.dot_general(
+        q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lc = logits
+    if kk > 0:
+        pe = jnp.zeros_like(logits)
+        for t in range(kk):
+            pe = pe + w_ref[head, t] * _shift_rows(logits, t - pad)
+        if has_bias:
+            pe = pe + b_ref[head, 0]
+        lc = logits + pe
+    m = jnp.max(lc, axis=-1, keepdims=True)
+    e = jnp.exp(lc - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # dv = A^T g
+    dv_ref[0, 0] = jax.lax.dot_general(
+        attn, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # softmax backward
+    da = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dlc = attn * (da - jnp.sum(da * attn, axis=-1, keepdims=True))
+
+    # conv backward: dL = dLc + conv^T(dLc); accumulate dw, db
+    if kk > 0:
+        # zero-init once, at the very first program (r iterates outermost,
+        # head innermost; every program accumulates only into its own row
+        # but the init clears the whole shared block)
+        @pl.when((r == 0) & (head == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        dl = dlc
+        taps = []
+        for t in range(kk):
+            d = t - pad
+            # forward: pe[i] += w[t] * L[i + d]  =>  dL[i'] += w[t]*dLc[i'-d]
+            dl = dl + w_ref[head, t] * _shift_rows(dlc, -d)
+            # dw[t] = sum_ij dLc[i, j] * L[i + d, j]
+            taps.append(jnp.sum(dlc * _shift_rows(logits, d)))
+        # row-wise accumulation (scalar VMEM stores are not supported)
+        row = jnp.stack(taps).reshape(1, kk)
+        dw_ref[pl.ds(head, 1), :] += row
+        if has_bias:
+            db_ref[pl.ds(head, 1), :] += jnp.sum(dlc).reshape(1, 1)
+    else:
+        dl = dlc
+
+    # dq = scale * dL k ; dk = dL^T (q * scale)
+    dq_ref[0, 0] = scale * jax.lax.dot_general(
+        dl, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        dl, q * scale, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
+                                interpret: bool = False):
+    """Returns (dq, dk, dv, dw, db); dw/db are None when w/b are None."""
+    r, h, p, hd = q.shape
+    kk = 0 if w is None else w.shape[1]
+    has_bias = b is not None
+    w_in = w if w is not None else jnp.zeros((h, 1), jnp.float32)
+    b_in = (b if b is not None else jnp.zeros((h,), jnp.float32)).reshape(h, 1)
+
+    qkv_spec = pl.BlockSpec((1, 1, p, hd), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((h, max(kk, 1)), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((h, 1), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),   # dq
+        jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),   # dk
+        jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),   # dv
+        jax.ShapeDtypeStruct((h, max(kk, 1)), jnp.float32),  # dw
+        jax.ShapeDtypeStruct((h, 1), jnp.float32),           # db
+    )
+    out_specs = (qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec)
+
+    dq, dk, dv, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, kk=kk, scale=scale, has_bias=has_bias),
+        grid=(r, h),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec, qkv_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=r * h * (5 * 2 * p * p * hd + 3 * kk * p * p),
+            bytes_accessed=8 * r * h * p * hd * 4,
+            transcendentals=r * h * p * p),
+        interpret=interpret,
+    )(q, k, v, w_in, b_in, g)
+
+    if w is None:
+        return dq, dk, dv, None, None
+    return dq, dk, dv, dw, (db[:, 0] if has_bias else None)

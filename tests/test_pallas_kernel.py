@@ -72,3 +72,30 @@ def test_custom_vjp_gradients():
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
     for a, c in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
+
+
+@pytest.mark.parametrize("kk", [9, 15, 0])
+def test_bwd_kernel_matches_vjp(kk):
+    """Fused backward kernel vs jax.vjp of the XLA forward."""
+    from rrtmil_tpu.ops.pallas.region_attn_bwd import region_attention_bwd_pallas
+    q, k, v, w, b = _inputs(r=3, p=64, hd=32, kk=max(kk, 1))
+    if kk == 0:
+        w = b = None
+    g = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+    scale = 32 ** -0.5
+
+    args = (q, k, v) if kk == 0 else (q, k, v, w, b)
+    def f(*a):
+        if kk == 0:
+            return _fused_fwd_xla(a[0], a[1], a[2], None, None, scale=scale)
+        return _fused_fwd_xla(*a, scale=scale)
+    _, vjp = jax.vjp(f, *args)
+    refs = vjp(g)
+    outs = region_attention_bwd_pallas(q, k, v, w, b, g, scale=scale,
+                                       interpret=True)
+    names = ["dq", "dk", "dv", "dw", "db"]
+    for name, got, want in zip(names, outs, list(refs) + [None, None]):
+        if got is None:
+            continue
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, err_msg=name)
