@@ -175,6 +175,11 @@ class Engine:
     # -- batching ----------------------------------------------------------
 
     def _make_batch(self, dataset, indices: Sequence[int], train: bool):
+        # Native C++ fast path: eval batches over on-disk .npy bags skip the
+        # Python read/cast/pad entirely (data/native_loader.py).
+        if not train and not self.cfg.exact and self._can_use_native(dataset,
+                                                                     indices):
+            return self._make_batch_native(dataset, indices)
         bags, labels, lengths = [], [], []
         for i in indices:
             bag, label = dataset[i]
@@ -196,6 +201,30 @@ class Engine:
             spec = bucket_for(max(lengths), self.encoder_cfg)
         xs, masks = zip(*[pad_bag(b, spec.data_length) for b in bags])
         return (jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(masks)),
+                jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
+
+    def _can_use_native(self, dataset, indices) -> bool:
+        from ..data import native_loader
+        paths = getattr(dataset, "slide_path", None)
+        if paths is None or not native_loader.available():
+            return False
+        if getattr(dataset, "persistence", False):
+            return False
+        return all(paths[i].endswith(".npy") for i in indices)
+
+    def _make_batch_native(self, dataset, indices):
+        from ..data import native_loader
+        from ..data.bucketing import bucket_for
+        paths = [dataset.slide_path[i] for i in indices]
+        lengths = [native_loader.num_rows(p) for p in paths]
+        labels = [dataset.slide_label[i] for i in indices]
+        spec = bucket_for(max(lengths), self.encoder_cfg)
+        with open(paths[0], "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        cols = shape[1]
+        x, mask, _ = native_loader.fill_batch(paths, spec.data_length, cols)
+        return (jnp.asarray(x), jnp.asarray(mask),
                 jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
 
     def _batched_order(self, dataset, order: Sequence[int]) -> List[List[int]]:
