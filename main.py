@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--crmsa_mlp", action="store_true")
     parser.add_argument("--da_act", default="relu", type=str)
 
+    # DTFD standalone (reference DTFD/main.py:704-711)
+    parser.add_argument("--numGroup", default=4, type=int)
+    parser.add_argument("--total_instance", default=4, type=int)
+    parser.add_argument("--distill_type", default="AFS", type=str,
+                        help="[MaxMinS, MaxS, AFS]")
+    parser.add_argument("--grad_clipping", default=5.0, type=float)
+
     # Shuffle augs
     parser.add_argument("--patch_shuffle", action="store_true")
     parser.add_argument("--group_shuffle", action="store_true")

@@ -111,8 +111,26 @@ def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
              logger: Logger, resume_payload: Optional[Dict] = None):
     train_set, val_set, test_set = _make_datasets(args, fold, splits)
 
-    model, enc_cfg = build_model_from_args(args)
-    engine = Engine(model, engine_config_from_args(args), encoder_cfg=enc_cfg)
+    if args.model == "dtfd":
+        # standalone classification DTFD (reference DTFD/main.py)
+        from ..models.dtfd import DTFD
+        from .dtfd_cls import DTFDClassificationEngine
+        enc_cfg = encoder_config_from_args(args)
+        model = DTFD(input_dim=args.input_dim, n_classes=args.n_classes,
+                     survival=False, group=getattr(args, "numGroup", 4),
+                     distill=getattr(args, "distill_type", "AFS"),
+                     instance_per_group=max(
+                         1, getattr(args, "total_instance", 4)
+                         // getattr(args, "numGroup", 4)))
+        ecfg = engine_config_from_args(args)
+        ecfg.batch_size = 1
+        engine = DTFDClassificationEngine(
+            model, ecfg, encoder_cfg=enc_cfg,
+            grad_clipping=getattr(args, "grad_clipping", 5.0))
+    else:
+        model, enc_cfg = build_model_from_args(args)
+        engine = Engine(model, engine_config_from_args(args),
+                        encoder_cfg=enc_cfg)
     example_len = max(train_set.bag(0).shape[0], 64)
     state = engine.init(jax.random.PRNGKey(args.seed), example_len,
                         args.input_dim)

@@ -64,11 +64,18 @@ def _masked_softmax_1d(scores, mask):
 
 
 class DTFD(nn.Module):
+    """Survival DTFD (hazards/S outputs) and, with `survival=False`, the
+    standalone classification DTFD of reference DTFD/main.py:419-551
+    (logits outputs, `instance_per_group` distilled instances per
+    pseudo-bag = total_instance // numGroup, DTFD/main.py:429,498-500)."""
+
     input_dim: int = 1024
     inner_dim: int = 512
     n_classes: int = 4
     group: int = 8
     distill: str = "MaxMinS"             # 'MaxMinS' | 'MaxS' | 'AFS'
+    survival: bool = True
+    instance_per_group: int = 1
 
     @nn.compact
     def __call__(self, x, mask=None, length: Optional[int] = None,
@@ -115,7 +122,9 @@ class DTFD(nn.Module):
 
         def distill(att_feats, mid, pooled, sub_mask):
             """CAM-style ranking by the tier-1 classifier weight
-            (network.py:192-210)."""
+            (network.py:192-210; top/bottom instance_per_group as in
+            DTFD/main.py:498-500)."""
+            kq = self.instance_per_group
             inst_logits = att_feats @ w_clf              # (n_c, K)
             p_last = jax.nn.softmax(inst_logits, axis=1)[:, -1]
             if sub_mask is not None:
@@ -123,12 +132,14 @@ class DTFD(nn.Module):
                 p_min = jnp.where(sub_mask, p_last, jnp.inf)
             else:
                 p_max = p_min = p_last
-            i_max = jnp.argmax(p_max)
-            i_min = jnp.argmin(p_min)
+            i_max = jax.lax.top_k(p_max, kq)[1]
+            i_min = jax.lax.top_k(-p_min, kq)[1]
             if self.distill == "MaxMinS":
-                return jnp.stack([mid[i_max], mid[i_min]], axis=0)
+                return jnp.concatenate(
+                    [jnp.take(mid, i_max, axis=0),
+                     jnp.take(mid, i_min, axis=0)], axis=0)
             if self.distill == "MaxS":
-                return mid[i_max][None]
+                return jnp.take(mid, i_max, axis=0)
             return pooled                                 # 'AFS'
 
         chunks = pseudo_bag_slices(n, self.group)
@@ -145,11 +156,12 @@ class DTFD(nn.Module):
                 pseudo_logits.append(classify(pooled))
                 distilled.append(distill(att_feats, mid, pooled, sub_mask))
             pseudo_logits = jnp.concatenate(pseudo_logits, axis=0)  # (G, K)
-            pseudo_hazards = nn.sigmoid(pseudo_logits)
-            pseudo_s = jnp.cumprod(1 - pseudo_hazards, axis=1)
-
             feats = jnp.concatenate(distilled, axis=0)
             logits = u_classify(feats)
+            if not self.survival:
+                return pseudo_logits, logits
+            pseudo_hazards = nn.sigmoid(pseudo_logits)
+            pseudo_s = jnp.cumprod(1 - pseudo_hazards, axis=1)
             hazards = nn.sigmoid(logits)
             return (pseudo_hazards, pseudo_s, hazards,
                     jnp.cumprod(1 - hazards, axis=1))
@@ -171,5 +183,7 @@ class DTFD(nn.Module):
             distilled.append(distill(att_feats, tmid, pooled, tmask))
         feats = jnp.concatenate(distilled, axis=0)
         logits = u_classify(feats)
+        if not self.survival:
+            return logits
         hazards = nn.sigmoid(logits)
         return hazards, jnp.cumprod(1 - hazards, axis=1)

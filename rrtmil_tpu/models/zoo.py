@@ -51,6 +51,8 @@ def model_names():
 
 
 def aux_mode(name: str) -> Optional[str]:
+    if name not in _REGISTRY:
+        return None     # models with dedicated engines (dtfd, mhim)
     return _REGISTRY[name][1]
 
 

@@ -94,3 +94,12 @@ def test_zoo_models_train_one_epoch(name):
     probs, lbls, eval_loss = engine.evaluate(state.params, ds)
     assert probs.shape == (6,)
     assert np.isfinite(eval_loss)
+
+
+def test_dtfd_classification_end_to_end(tmp_path):
+    """Standalone classification DTFD (reference DTFD/main.py) trains."""
+    _write_synthetic_dataset(str(tmp_path / "data"), n_patients=8)
+    args = _args(tmp_path, model="dtfd", num_epoch=2, cv_fold=2)
+    metrics = run_cv(args)
+    assert len(metrics["auc"]) == 2
+    assert all(np.isfinite(a) for a in metrics["auc"])
