@@ -77,22 +77,19 @@ def kmeans(x: jnp.ndarray, k: int, n_iter: int = 20,
     return lloyd(centroids)
 
 
-def extract_bag_features(engine, params, dataset, indices=None) -> np.ndarray:
-    """Pooled 512-d bag embedding per training bag, using the model's
-    feature path up to (but excluding) the classifier head.
-
-    Works for ABMIL-family models whose flax param tree has a 'feature' /
-    'embedding' stem and an attention pooler; we re-run the model with
-    capture of the pooled feature via the classifier pre-activation:
-    feature = logits @ pinv(W) is ill-posed, so instead we apply the stem
-    and pooling directly through a sub-apply."""
+def extract_bag_features(model, params, dataset, indices=None) -> np.ndarray:
+    """Pooled 512-d bag embedding per training bag (the reference extracts
+    these from a trained AB-MIL, Survival/models/IBMIL/clustering.py via
+    Clustering.sh).  `model` must support `return_pooled=True`
+    (models/abmil.ABMIL does)."""
     import jax.numpy as jnp
     feats = []
     indices = range(len(dataset)) if indices is None else indices
     for i in indices:
         bag, _ = dataset[i]
         bag = np.asarray(bag, np.float32)
-        pooled = engine.pooled_feature(params, jnp.asarray(bag[None]))
+        _, pooled = model.apply({"params": params}, jnp.asarray(bag[None]),
+                                deterministic=True, return_pooled=True)
         feats.append(np.asarray(pooled)[0])
     return np.stack(feats)
 

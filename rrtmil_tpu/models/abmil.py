@@ -63,7 +63,8 @@ class ABMIL(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, length=None, labels=None,
-                 deterministic=True, return_attn=False, no_norm=False):
+                 deterministic=True, return_attn=False, no_norm=False,
+                 return_pooled=False):
         if x.ndim == 2:
             x = x[None]
         feat = FeatureHead(self.input_dim, self.act, self.dropout, self.rrt,
@@ -79,6 +80,10 @@ class ABMIL(nn.Module):
         m = (a @ feat)[:, 0]                            # (B, 512)
         logits = nn.Dense(self.n_classes, kernel_init=xavier_normal,
                           bias_init=zeros, name="classifier")(m)
+        if return_pooled:
+            # pooled bag embedding for the IBMIL confounder pipeline
+            # (reference Survival/models/IBMIL/clustering.py extracts these)
+            return logits, m
         if return_attn:
             return logits, (a_ori if no_norm else a)[:, 0]
         return logits

@@ -103,3 +103,14 @@ def test_ibmil():
     got = apply(IBMIL(input_dim=1024, n_classes=2, dropout=0.25,
                       confounders=conf), params, inputs["x"])
     np.testing.assert_allclose(np.asarray(got), outputs["y"], atol=2e-5)
+
+
+def test_attmil_with_injected_rrt():
+    """--only_rrt_enc path: AB-MIL with an injected RRT encoder
+    (reference main.py:138-155,194)."""
+    from rrtmil_tpu.config import RRTEncoderConfig
+    inputs, params, outputs, _ = load("attmil_rrt")
+    enc = RRTEncoderConfig(epeg_k=9, crmsa_k=1, dropout=0.0)
+    model = ABMIL(input_dim=1024, n_classes=2, dropout=0.25, rrt=enc)
+    got = apply(model, params, inputs["x"])
+    np.testing.assert_allclose(np.asarray(got), outputs["y"], atol=2e-4)

@@ -423,6 +423,28 @@ def gen_attmil():
     save("gattmil", {"x": t2n(x)}, params, {"y": t2n(y)})
 
 
+def gen_attmil_rrt():
+    """AB-MIL with an injected RRT encoder (--only_rrt_enc path,
+    reference main.py:138-155,194)."""
+    seeded()
+    import modules.rrt as ref_rrt
+    enc = ref_rrt.RRTEncoder(mlp_dim=512, epeg_k=9, crmsa_k=1,
+                             drop_out=0.0, need_init=True)
+    mod = ref_attmil.DAttention(input_dim=1024, n_classes=2, dropout=0.25,
+                                act="relu", rrt=enc).eval()
+    x = torch.randn(1, 937, 1024)
+    with torch.no_grad():
+        y = mod(x)
+    att = seq_linears(mod.attention)
+    params = {
+        "feature": {"fc": dense(seq_linears(mod.feature)[0]),
+                    "rrt": encoder_params(enc)},
+        "attn_fc1": dense(att[0]), "attn_fc2": dense(att[1]),
+        "classifier": dense(seq_linears(mod.classifier)[0]),
+    }
+    save("attmil_rrt", {"x": t2n(x)}, params, {"y": t2n(y)})
+
+
 def gen_mean_max():
     for tag, cls in (("meanmil", ref_mean_max.MeanMIL),
                      ("maxmil", ref_mean_max.MaxMIL)):
@@ -578,6 +600,7 @@ def main():
     print("Generating goldens from /root/reference (torch CPU)...")
     gen_train_steps()
     gen_attmil()
+    gen_attmil_rrt()
     gen_mean_max()
     gen_clam()
     gen_dsmil()
