@@ -54,13 +54,47 @@ def step_lr(base_lr: float, t: int, step_size: float, gamma: float = 0.2) -> flo
 
 
 def lr_at(schedule: str, base_lr: float, t: int, t_max: int) -> float:
+    """Closed-form LR at schedule index t (epoch or iteration).
+
+    Covers the classification schedules (main.py:235-243) and the survival
+    scheduler zoo (Survival/utils/scheduler.py:4-17); 'plateau' requires
+    metric feedback and is handled by PlateauLR below."""
     if schedule == "cosine":
         return cosine_lr(base_lr, min(t, t_max), t_max)
     if schedule == "step":
+        # classification uses gamma 0.2 (main.py:241); survival step uses
+        # gamma 0.1 (scheduler.py:8) -- gamma configurable via step_lr.
         return step_lr(base_lr, t, t_max / 2)
-    if schedule == "const":
+    if schedule == "exp":
+        return base_lr * (0.1 ** t)           # ExponentialLR(0.1)
+    if schedule in ("const", "None", "none"):
         return base_lr
     raise ValueError(f"unknown schedule {schedule!r}")
+
+
+class PlateauLR:
+    """torch ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01,
+    patience=5) as used by the survival scheduler zoo (scheduler.py:10)."""
+
+    def __init__(self, base_lr: float, factor: float = 0.2,
+                 patience: int = 5, threshold: float = 0.01):
+        self.lr = base_lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best = math.inf
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1 - self.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.bad_epochs = 0
+        return self.lr
 
 
 class LookaheadState(NamedTuple):
