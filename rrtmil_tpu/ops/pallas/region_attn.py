@@ -15,10 +15,9 @@ shift-and-add for the depthwise (k, 1) conv along the *query* axis (zero
 padding, cross-correlation -- exact torch Conv2d semantics), row softmax,
 and the AV matmul -- a single HBM round trip for q/k/v/out.
 
-Forward-only: the public wrapper `region_attention_fused` carries a
-custom_vjp whose backward runs the mathematically identical pure-JAX path
-(XLA autodiff), so training works today; a fused backward kernel can slot in
-later without touching callers.
+The public wrapper `region_attention_fused` carries a custom_vjp whose
+backward is the fused Pallas kernel in region_attn_bwd.py (flash-style
+recompute); `_fused_fwd_xla` remains as the math reference for tests.
 """
 from __future__ import annotations
 
@@ -32,15 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
-            has_bias: bool):
+            has_bias: bool, mm_dtype):
     head = pl.program_id(1)
     q = q_ref[0, 0]                     # (P, hd)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     p = q.shape[0]
 
+    # MXU inputs in mm_dtype (bf16 by default: fp32 matmuls take the slow
+    # multi-pass MXU path, ~10x slower; accumulation stays fp32, matching
+    # XLA's default-precision einsums on TPU)
     logits = jax.lax.dot_general(
-        q * scale, k,
+        (q * scale).astype(mm_dtype), k.astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # (P, P)
 
@@ -67,12 +69,15 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
 
     o_ref[0, 0] = jax.lax.dot_general(
-        attn, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        attn.astype(mm_dtype), v.astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _fused_fwd_pallas(q, k, v, w, b, *, scale: float, interpret: bool = False):
-    """q, k, v: (R, H, P, hd); w: (H, kk) or None; b: (H,) or None."""
+def _fused_fwd_pallas(q, k, v, w, b, *, scale: float, interpret: bool = False,
+                      mm_dtype=jnp.bfloat16):
+    """q, k, v: (R, H, P, hd); w: (H, kk) or None; b: (H,) or None.
+    mm_dtype: MXU input dtype (bf16 default; fp32 for bit-level tests)."""
     r, h, p, hd = q.shape
     kk = 0 if w is None else w.shape[1]
     has_bias = b is not None
@@ -90,7 +95,8 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float, interpret: bool = False):
 
     flops_per = 2 * p * p * hd * 2 + kk * p * p
     return pl.pallas_call(
-        functools.partial(_kernel, kk=kk, scale=scale, has_bias=has_bias),
+        functools.partial(_kernel, kk=kk, scale=scale, has_bias=has_bias,
+                          mm_dtype=mm_dtype),
         grid=(r, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec],
         out_specs=qkv_spec,
@@ -122,20 +128,22 @@ def _fused_fwd_xla(q, k, v, w, b, *, scale: float):
     return jnp.einsum("rhij,rhjd->rhid", attn, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def region_attention_fused(q, k, v, w, b, scale: float):
-    return _fused_fwd_pallas(q, k, v, w, b, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def region_attention_fused(q, k, v, w, b, scale: float,
+                           mm_dtype=jnp.bfloat16):
+    return _fused_fwd_pallas(q, k, v, w, b, scale=scale, mm_dtype=mm_dtype)
 
 
-def _fwd(q, k, v, w, b, scale):
-    out = _fused_fwd_pallas(q, k, v, w, b, scale=scale)
+def _fwd(q, k, v, w, b, scale, mm_dtype):
+    out = _fused_fwd_pallas(q, k, v, w, b, scale=scale, mm_dtype=mm_dtype)
     return out, (q, k, v, w, b)
 
 
-def _bwd(scale, residuals, g):
+def _bwd(scale, mm_dtype, residuals, g):
     q, k, v, w, b = residuals
     from .region_attn_bwd import region_attention_bwd_pallas
-    return region_attention_bwd_pallas(q, k, v, w, b, g, scale=scale)
+    return region_attention_bwd_pallas(q, k, v, w, b, g, scale=scale,
+                                       mm_dtype=mm_dtype)
 
 
 region_attention_fused.defvjp(_fwd, _bwd)

@@ -50,7 +50,7 @@ def _shift_rows(mat, d: int):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dw_ref, db_ref,
-                *, kk: int, scale: float, has_bias: bool):
+                *, kk: int, scale: float, has_bias: bool, mm_dtype):
     head = pl.program_id(1)
     r = pl.program_id(0)
     q = q_ref[0, 0]
@@ -60,9 +60,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
     p = q.shape[0]
     pad = kk // 2
 
-    # recompute forward logits / probabilities
+    # recompute forward logits / probabilities (same mm_dtype as forward so
+    # the recomputed softmax matches the forward bit-for-bit)
     logits = jax.lax.dot_general(
-        q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        (q * scale).astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     lc = logits
     if kk > 0:
@@ -78,12 +80,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
 
     # dv = A^T g
     dv_ref[0, 0] = jax.lax.dot_general(
-        attn, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        attn.astype(mm_dtype), g.astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     # softmax backward
     da = jax.lax.dot_general(
-        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        g.astype(mm_dtype), v.astype(mm_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dlc = attn * (da - jnp.sum(da * attn, axis=-1, keepdims=True))
 
@@ -115,15 +119,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
 
     # dq = scale * dL k ; dk = dL^T (q * scale)
     dq_ref[0, 0] = scale * jax.lax.dot_general(
-        dl, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        dl.astype(mm_dtype), k.astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dk_ref[0, 0] = jax.lax.dot_general(
-        dl, q * scale, dimension_numbers=(((0,), (0,)), ((), ())),
+        dl.astype(mm_dtype), (q * scale).astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
 def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                mm_dtype=jnp.bfloat16):
     """Returns (dq, dk, dv, dw, db); dw/db are None when w/b are None."""
     r, h, p, hd = q.shape
     kk = 0 if w is None else w.shape[1]
@@ -148,7 +155,8 @@ def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
     out_specs = (qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec)
 
     dq, dk, dv, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, kk=kk, scale=scale, has_bias=has_bias),
+        functools.partial(_bwd_kernel, kk=kk, scale=scale, has_bias=has_bias,
+                          mm_dtype=mm_dtype),
         grid=(r, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec, qkv_spec],
         out_specs=out_specs,

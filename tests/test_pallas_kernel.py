@@ -25,14 +25,16 @@ def _inputs(r=4, h=8, p=144, hd=64, kk=15, seed=0):
 def test_kernel_matches_xla_with_epeg(kk):
     q, k, v, w, b = _inputs(kk=kk)
     ref = _fused_fwd_xla(q, k, v, w, b, scale=0.125)
-    got = _fused_fwd_pallas(q, k, v, w, b, scale=0.125, interpret=True)
+    got = _fused_fwd_pallas(q, k, v, w, b, scale=0.125, interpret=True,
+                            mm_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
 def test_kernel_matches_xla_no_epeg():
     q, k, v, _, _ = _inputs()
     ref = _fused_fwd_xla(q, k, v, None, None, scale=0.125)
-    got = _fused_fwd_pallas(q, k, v, None, None, scale=0.125, interpret=True)
+    got = _fused_fwd_pallas(q, k, v, None, None, scale=0.125, interpret=True,
+                            mm_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
@@ -60,7 +62,8 @@ def test_custom_vjp_gradients():
     q, k, v, w, b = _inputs(r=2, p=64)
 
     def loss_fused(q, k, v, w, b):
-        return region_attention_fused(q, k, v, w, b, 0.125).sum()
+        return region_attention_fused(q, k, v, w, b, 0.125,
+                                      jnp.float32).sum()
 
     def loss_xla(q, k, v, w, b):
         return _fused_fwd_xla(q, k, v, w, b, scale=0.125).sum()
@@ -92,7 +95,7 @@ def test_bwd_kernel_matches_vjp(kk):
     _, vjp = jax.vjp(f, *args)
     refs = vjp(g)
     outs = region_attention_bwd_pallas(q, k, v, w, b, g, scale=scale,
-                                       interpret=True)
+                                       interpret=True, mm_dtype=jnp.float32)
     names = ["dq", "dk", "dv", "dw", "db"]
     for name, got, want in zip(names, outs, list(refs) + [None, None]):
         if got is None:
