@@ -71,6 +71,16 @@ def measure(batch: int, iters: int = 20) -> float:
 
 
 def main():
+    # The sandbox TPU tunnel can wedge; bound the whole run so the driver
+    # always gets a process exit instead of an indefinite hang.
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench timed out (TPU tunnel unresponsive)")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(560)
+
     best, best_b = 0.0, 1
     for b in (1, 8):
         try:

@@ -80,6 +80,62 @@ class _GatedPool(nn.Module):
         return feat
 
 
+class _SAttention(nn.Module):
+    """The 'selfattn' baseline encoder (network.py:320-409): cls token +
+    two Nystrom TransLayers with PPEG between (TransMIL-style).
+
+    The reference masks by physically gathering kept tokens (MAE-style,
+    network.py:339-360), which changes the Nystrom landmark segmentation.
+    Here masked tokens are zeroed instead (static shapes); a controlled
+    deviation documented in docs/PARITY.md -- the survival harness only
+    exercises baseline='attn' (Survival/main.py:147).
+    """
+
+    mlp_dim: int = 512
+    head: int = 8
+    peg_k: int = 7
+
+    @nn.compact
+    def __call__(self, x, keep_mask=None, return_attn: bool = False,
+                 deterministic: bool = True):
+        from ..config import NystromConfig
+        from .nystrom import NystromAttention
+        from .transmil import _PPEG
+
+        b, n, c = x.shape
+        if keep_mask is not None:
+            x = x * keep_mask[..., None].astype(x.dtype)
+
+        cls_token = self.param("cls_token", nn.initializers.normal(1.0),
+                               (1, 1, self.mlp_dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, self.mlp_dim)), x], axis=1)
+
+        nys = NystromConfig(dim=self.mlp_dim, head_dim=self.mlp_dim // 8,
+                            num_heads=self.head,
+                            num_landmarks=self.mlp_dim // 2, dropout=0.1)
+
+        def translayer(name, h):
+            z = nn.LayerNorm(name=f"{name}_norm")(h)
+            return h + NystromAttention(nys, name=f"{name}_attn")(
+                z, deterministic=deterministic)
+
+        x = translayer("layer1", x)
+        side = int(math.ceil(math.sqrt(n)))
+        if side * side == n:          # PPEG needs a square token grid
+            spatial = _PPEG(self.mlp_dim, name="pos_embedding")(
+                jnp.concatenate([x[:, :1], x[:, 1:]], axis=1), side, side)
+            x = spatial
+        x = translayer("layer2", x)
+        x = nn.LayerNorm(name="norm")(x)
+        feat = x[:, 0]
+        if return_attn:
+            # raw per-token proxy: cls-row attention unavailable from the
+            # Nystrom approximation without extra cost; return zeros
+            return feat, jnp.zeros((b, n), x.dtype)
+        return feat
+
+
 class MHIM(nn.Module):
     """Student/teacher network (network.py:438-...)."""
 
@@ -89,6 +145,7 @@ class MHIM(nn.Module):
     dropout: float = 0.25
     act: str = "relu"
     da_act: str = "relu"
+    baseline: str = "attn"     # 'attn' | 'selfattn'
 
     @nn.compact
     def __call__(self, x, mask=None, length=None, keep_mask=None,
@@ -105,7 +162,11 @@ class MHIM(nn.Module):
         if keep_mask is not None:
             km = keep_mask if km is None else (km & keep_mask)
 
-        pool = _GatedPool(self.mlp_dim, self.da_act, name="online_encoder")
+        if self.baseline == "selfattn":
+            pool = _SAttention(self.mlp_dim, name="online_encoder")
+        else:
+            pool = _GatedPool(self.mlp_dim, self.da_act,
+                              name="online_encoder")
         if return_attn:
             feat, attn = pool(h, km, return_attn=True,
                               deterministic=deterministic)

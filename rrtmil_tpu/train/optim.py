@@ -35,11 +35,24 @@ def make_optimizer(name: str = "adam", weight_decay: float = 1e-5) -> optax.Grad
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
             optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
         )
-    if name == "radam":
+    if name in ("radam", "plainradam"):
+        # PlainRAdam = RAdam without the 4-step warmup fallback; optax's
+        # scale_by_radam covers the variance-rectified behavior of both
+        # (Survival/utils/optimizer.py:26-170).
         return optax.chain(
             optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
             optax.scale_by_radam(b1=0.9, b2=0.999, eps=1e-8),
         )
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.trace(decay=0.9),
+        )
+    if name == "lookahead":
+        # Lookahead(RAdam) as the survival harness offers (optimizer.py:20)
+        return lookahead(optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.scale_by_radam(b1=0.9, b2=0.999, eps=1e-8)))
     raise ValueError(f"unknown optimizer {name!r}")
 
 

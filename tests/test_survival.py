@@ -183,3 +183,17 @@ def test_cv_meter(tmp_path):
     meter.save(path)
     content = open(path).read()
     assert "mean" in content and "cindex" in content
+
+
+def test_mhim_selfattn_baseline():
+    """MHIM 'selfattn' (TransMIL-style) baseline forward."""
+    import jax.numpy as jnp
+    model = MHIM(input_dim=32, n_classes=4, baseline="selfattn")
+    x = np.random.default_rng(0).normal(size=(1, 64, 32)).astype(np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        jnp.asarray(x), deterministic=True)["params"]
+    logits = model.apply({"params": params}, jnp.asarray(x),
+                         deterministic=True)
+    assert np.asarray(logits).shape == (1, 4)
+    assert np.isfinite(np.asarray(logits)).all()
