@@ -77,3 +77,52 @@ def test_graft_entry_single_and_multichip():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     g.dryrun_multichip(8)
+
+
+def test_fold_parallel_matches_sequential():
+    """vmapped K-fold training == K independent sequential steps."""
+    import dataclasses
+    from rrtmil_tpu.parallel.folds import (make_fold_parallel_step,
+                                           stack_states, unstack_states)
+    from rrtmil_tpu.data.bucketing import bucket_for
+
+    k = 4
+    cfg = dataclasses.replace(c16_r50(), input_dim=16)
+    model = RRTMIL(cfg)
+    spec = bucket_for(80, cfg.encoder)
+    tx = make_optimizer("adam", 1e-5)
+    key = jax.random.PRNGKey(0)
+
+    states, xs, masks, labels = [], [], [], []
+    for f in range(k):
+        kf = jax.random.fold_in(key, f)
+        x = jax.random.normal(kf, (1, spec.data_length, 16), jnp.float32)
+        mask = (jnp.arange(spec.data_length) < 80)[None]
+        params = model.init({"params": kf, "dropout": kf}, x, mask=mask,
+                            length=spec.repr_length,
+                            deterministic=True)["params"]
+        states.append(TrainState(params=params, opt_state=tx.init(params),
+                                 step=jnp.zeros((), jnp.int32)))
+        xs.append(x); masks.append(mask)
+        labels.append(jnp.asarray([f % 2], jnp.int32))
+
+    step = make_fold_parallel_step(model, tx, cross_entropy,
+                                   spec.repr_length)
+    rngs = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(7), i))(
+        jnp.arange(k))
+    stacked, losses = step(stack_states(states),
+                           jnp.stack(xs), jnp.stack(masks),
+                           jnp.stack(labels), jnp.float32(2e-4), rngs)
+
+    # sequential reference per fold
+    for f in range(k):
+        def loss(params):
+            logits = model.apply({"params": params}, xs[f], mask=masks[f],
+                                 length=spec.repr_length, deterministic=False,
+                                 rngs={"dropout": jax.random.fold_in(
+                                     jax.random.PRNGKey(7), f)})
+            return cross_entropy(logits, labels[f])
+        l_ref = loss(states[f].params)
+        np.testing.assert_allclose(float(losses[f]), float(l_ref), rtol=2e-5)
+    out_states = unstack_states(stacked, k)
+    assert all(int(s.step) == 1 for s in out_states)
