@@ -54,6 +54,7 @@ class InnerAttentionConfig:
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
     epeg: EPEGConfig = EPEGConfig(enabled=False)
+    compute_dtype: str = "float32"
     backend: str = "auto"               # 'auto' | 'xla' | 'pallas': fused
     # region-attention kernel (ops/pallas/region_attn.py); 'auto' uses the
     # Pallas kernel on TPU when the config is fusable (1-D 'attn' EPEG or no
@@ -170,6 +171,9 @@ class RRTEncoderConfig:
     pos: PosEmbedConfig = PosEmbedConfig()
     sp_shards: int = 1        # sequence-parallel shards (parallel/seqshard.py)
     sp_axis: Optional[str] = None
+    compute_dtype: str = "float32"   # 'float32' | 'bfloat16': activation /
+    # matmul dtype for the encoder stack (params stay fp32; LayerNorm and
+    # softmax always compute in fp32).  bfloat16 halves HBM traffic on TPU.
 
     def rmsa_layer(self) -> TransLayerConfig:
         region = RegionConfig(
@@ -179,6 +183,7 @@ class RRTEncoderConfig:
         attn = InnerAttentionConfig(
             dim=self.dim, num_heads=self.n_heads, head_dim=self.dim // self.n_heads,
             qkv_bias=self.qkv_bias, proj_dropout=self.dropout,
+            compute_dtype=self.compute_dtype,
             epeg=EPEGConfig(enabled=self.epeg, k=self.epeg_k, two_d=self.epeg_2d,
                             bias=self.epeg_bias, kind=self.epeg_type))
         nys = NystromConfig(dim=self.dim, head_dim=self.trans_dim,
@@ -200,6 +205,7 @@ class RRTEncoderConfig:
             dim=self.dim, num_heads=self.crmsa_heads,
             head_dim=self.dim // self.crmsa_heads,
             qkv_bias=self.qkv_bias, proj_dropout=self.dropout,
+            compute_dtype=self.compute_dtype,
             epeg=EPEGConfig(enabled=False))
         return TransLayerConfig(
             dim=self.dim, attn_mode="crmsa",

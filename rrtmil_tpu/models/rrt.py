@@ -123,10 +123,11 @@ class InnerAttention(nn.Module):
         cfg = self.cfg
         b_, n, c = x.shape
         h, hd = cfg.num_heads, cfg.resolved_head_dim
+        cdt = jnp.dtype(cfg.compute_dtype)
 
         qkv = nn.Dense(3 * h * hd, use_bias=cfg.qkv_bias,
                        kernel_init=xavier_normal, bias_init=zeros,
-                       name="qkv")(x)
+                       dtype=cdt, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]          # (B_, h, N, hd)
 
@@ -148,11 +149,15 @@ class InnerAttention(nn.Module):
                         if ep.bias else None)
             else:
                 w, bias = None, None
-            out = region_attention_fused(q, k, v, w, bias, cfg.scale)
+            out = region_attention_fused(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), w, bias, cfg.scale)
             out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
+            out = out.astype(cdt)
         else:
             q = q * cfg.scale
-            attn = jnp.einsum("bhid,bhjd->bhij", q, k)  # logits (B_, h, N, N)
+            attn = jnp.einsum("bhid,bhjd->bhij", q, k,
+                              preferred_element_type=jnp.float32)
 
             if ep.enabled and ep.kind == "attn":
                 kh, kw = (ep.k, ep.k) if ep.two_d else (ep.k, 1)
@@ -167,15 +172,17 @@ class InnerAttention(nn.Module):
             if ep.enabled and ep.kind == "value_bf":
                 v = v + self._value_pe(v, n)
 
-            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
             out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
+            out = out.astype(cdt)
 
         if ep.enabled and ep.kind == "value_af":
             pe = self._value_pe(v, n, flat=True)
             out = out + pe
 
         out = nn.Dense(cfg.dim, kernel_init=xavier_normal, bias_init=zeros,
-                       name="proj")(out)
+                       dtype=cdt, name="proj")(out)
         out = nn.Dropout(cfg.proj_dropout)(out, deterministic=deterministic)
         if return_attn:
             return out, attn
@@ -364,7 +371,7 @@ class TransLayer(nn.Module):
         cfg = self.cfg
         m = None if mask is None else mask[..., None].astype(x.dtype)
 
-        z = nn.LayerNorm(name="norm")(x)
+        z = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         if m is not None:
             z = z * m
         if cfg.attn_mode == "rmsa":
@@ -434,7 +441,7 @@ class RRTEncoder(nn.Module):
         if cfg.all_shortcut:                 # (rrt.py:192-193)
             x = x + x_shortcut
 
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
         return x[0] if squeeze else x
@@ -467,8 +474,9 @@ class RRTMIL(nn.Module):
             x = x[None]
         length = x.shape[1] if length is None else length
 
+        cdt = jnp.dtype(cfg.encoder.compute_dtype)
         x = nn.Dense(512, kernel_init=xavier_normal, bias_init=zeros,
-                     name="patch_to_emb")(x)
+                     dtype=cdt, name="patch_to_emb")(x)
         if cfg.act == "relu":
             x = nn.relu(x)
         elif cfg.act == "gelu":
@@ -482,6 +490,7 @@ class RRTMIL(nn.Module):
 
         x = RRTEncoder(cfg.encoder, name="online_encoder")(
             x, mask=mask, length=length, deterministic=deterministic)
+        x = x.astype(jnp.float32)      # pooling softmax + head in fp32
 
         if cfg.pool.kind == "attn":
             pool = DAttention(cfg.encoder.dim, cfg.pool.act, cfg.pool.gated,

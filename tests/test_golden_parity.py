@@ -214,3 +214,18 @@ def test_rrtmil_bucketed_and_batched():
     got = np.asarray(model.apply({"params": params}, xb, mask=mb, length=937))
     assert_close(got[0], outputs["y"][0], atol=2e-4, name="bucket-batch-0")
     assert_close(got[1], outputs["y"][0], atol=2e-4, name="bucket-batch-1")
+
+
+def test_rrtmil_bfloat16_mode_close():
+    """compute_dtype='bfloat16' runs and stays within bf16 tolerance of the
+    fp32 reference logits (params remain fp32)."""
+    import dataclasses
+    inputs, params, outputs, _ = load("rrtmil_c16r50_l937")
+    cfg = RRTMIL_CFGS["c16r50_l937"]
+    cfg_bf16 = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder,
+                                         compute_dtype="bfloat16"))
+    got = run(RRTMIL(cfg_bf16), params, inputs["x"])
+    # logits are O(1); bf16 activations through 2 attention layers drift
+    # at the 1e-2 level
+    np.testing.assert_allclose(got, outputs["y"], atol=5e-2)
