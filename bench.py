@@ -52,11 +52,20 @@ def measure(batch: int, iters: int = 20) -> float:
     import jax
     import jax.numpy as jnp
 
+    import dataclasses
+
     from rrtmil_tpu.config import c16_r50
     from rrtmil_tpu.data.bucketing import bucket_for
     from rrtmil_tpu.models import RRTMIL
 
+    # bfloat16 activations: the TPU analog of the reference's --amp autocast
+    # (reference main.py:101-102,706); params/softmax/pooling stay fp32 and
+    # logits match the fp32 reference within bf16 tolerance
+    # (tests/test_golden_parity.py::test_rrtmil_bfloat16_mode_close).
     cfg = c16_r50()
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder,
+                                         compute_dtype="bfloat16"))
     model = RRTMIL(cfg)
     spec = bucket_for(N_PATCHES, cfg.encoder)
     key = jax.random.PRNGKey(0)

@@ -149,9 +149,8 @@ class InnerAttention(nn.Module):
                         if ep.bias else None)
             else:
                 w, bias = None, None
-            out = region_attention_fused(
-                q.astype(jnp.float32), k.astype(jnp.float32),
-                v.astype(jnp.float32), w, bias, cfg.scale)
+            # kernel accepts bf16 refs directly (half the DMA); output fp32
+            out = region_attention_fused(q, k, v, w, bias, cfg.scale)
             out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
             out = out.astype(cdt)
         else:
