@@ -66,6 +66,10 @@ class EngineConfig:
     exact: bool = False          # pad to true length (no bucketing); needed
                                  # by TransMIL's wrap-padding; forces bsz=1
     aux_mode: Optional[str] = None  # None | 'loss' (CLAM) | 'logits' (DSMIL)
+    transfer_dtype: str = "float32"  # host->device dtype for bags; set
+    # 'bfloat16' with compute_dtype='bfloat16' to halve the per-step
+    # transfer (a ~40 MB/step saving at N~9k, often the real train
+    # bottleneck on PCIe-attached hosts)
 
 
 class Engine:
@@ -200,7 +204,10 @@ class Engine:
         else:
             spec = bucket_for(max(lengths), self.encoder_cfg)
         xs, masks = zip(*[pad_bag(b, spec.data_length) for b in bags])
-        return (jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(masks)),
+        x_host = np.stack(xs)
+        if self.cfg.transfer_dtype != "float32":
+            x_host = x_host.astype(self.cfg.transfer_dtype)
+        return (jnp.asarray(x_host), jnp.asarray(np.stack(masks)),
                 jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
 
     def _can_use_native(self, dataset, indices) -> bool:
