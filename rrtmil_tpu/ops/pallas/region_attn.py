@@ -9,11 +9,21 @@ reference computes
     out    = attn @ v                                (rmsa.py:122)
 
 XLA materializes the (R, H, P, P) logit tensor in HBM several times (conv
-read/write, add, softmax, AV).  This kernel keeps the whole (P, P) tile in
-VMEM per (region, head) program: one MXU matmul for logits, a k-tap
-shift-and-add for the depthwise (k, 1) conv along the *query* axis (zero
-padding, cross-correlation -- exact torch Conv2d semantics), row softmax,
-and the AV matmul -- a single HBM round trip for q/k/v/out.
+read/write, add, softmax, AV).  This kernel keeps the whole logit tile in
+VMEM: one batched MXU matmul for logits, a k-tap shift-and-add for the
+depthwise (k, 1) conv along the *query* axis (zero padding, cross-correlation
+-- exact torch Conv2d semantics), row softmax, and the AV matmul -- a single
+HBM round trip for q/k/v/out.
+
+Grid layout: regions are processed RB at a time per program (grid =
+(R/RB, H), block (RB, 1, P, hd)).  The per-region attention is tiny
+(P ~ 144 tokens), so one program per (region, head) -- 512 programs at the
+N~9k flagship config -- is dominated by per-program dispatch overhead;
+batching RB regions into one program with a batched dot_general cuts the
+program count by RB with the same total FLOPs.  RB is the largest divisor
+of R <= RRTMIL_PALLAS_RB (env, default 4: measured on v5e at the flagship
+shape, fwd 0.55->0.42 ms and bwd 1.36->0.97 ms vs RB=1; the backward
+overflows VMEM at RB>=8).
 
 The public wrapper `region_attention_fused` carries a custom_vjp whose
 backward is the fused Pallas kernel in region_attn_bwd.py (flash-style
@@ -22,6 +32,7 @@ recompute); `_fused_fwd_xla` remains as the math reference for tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -30,36 +41,58 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _shift_q(mat, d: int):
+    """(RB, P, P) shifted by d along the query axis (1), zero-filled."""
+    if d == 0:
+        return mat
+    rb, p, _ = mat.shape
+    zeros = jnp.zeros((rb, abs(d), p), jnp.float32)
+    if d < 0:
+        return jnp.concatenate([zeros, mat[:, : p + d]], axis=1)
+    return jnp.concatenate([mat[:, d:], zeros], axis=1)
+
+
+def pick_rb(r: int, p: int, *, c_tiles: int, env: str, default: int) -> int:
+    """Regions per program: largest divisor of r <= cap, where cap is the
+    env override (RRTMIL_PALLAS_RB[_BWD]) or min(default, VMEM budget).
+
+    The VMEM budget models Mosaic's scoped allocation as ~c_tiles live
+    (P, P) fp32 tiles per region (empirical on v5e at kk=15: the rb=8
+    backward allocates 19.4 MB => ~30 tiles/region; forward fits at rb=16
+    => <=12).  Budget 12 MB of the 16 MB VMEM."""
+    env_v = os.environ.get(env)
+    if env_v:
+        cap = int(env_v)
+    else:
+        budget = 12 * 1024 * 1024
+        cap = min(default, max(1, budget // (p * p * 4 * c_tiles)))
+    rb = 1
+    for c in range(1, min(cap, r) + 1):
+        if r % c == 0:
+            rb = c
+    return rb
+
+
 def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
             has_bias: bool, mm_dtype):
     head = pl.program_id(1)
-    q = q_ref[0, 0]                     # (P, hd)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    p = q.shape[0]
+    q = q_ref[:, 0]                     # (RB, P, hd)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
 
     # MXU inputs in mm_dtype (bf16 by default: fp32 matmuls take the slow
     # multi-pass MXU path, ~10x slower; accumulation stays fp32, matching
     # XLA's default-precision einsums on TPU)
     logits = jax.lax.dot_general(
         (q * scale).astype(mm_dtype), k.astype(mm_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (P, P)
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (RB, P, P)
 
     if kk > 0:
         pad = kk // 2
         pe = jnp.zeros_like(logits)
         for t in range(kk):                          # k-tap shift-and-add
-            d = t - pad                              # query offset of this tap
-            if d < 0:
-                shifted = jnp.concatenate(
-                    [jnp.zeros((-d, p), jnp.float32), logits[: p + d]], axis=0)
-            elif d > 0:
-                shifted = jnp.concatenate(
-                    [logits[d:], jnp.zeros((d, p), jnp.float32)], axis=0)
-            else:
-                shifted = logits
-            pe = pe + w_ref[head, t] * shifted
+            pe = pe + w_ref[head, t] * _shift_q(logits, t - pad)
         if has_bias:
             pe = pe + b_ref[head, 0]
         logits = logits + pe
@@ -68,23 +101,27 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
     e = jnp.exp(logits - m)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
 
-    o_ref[0, 0] = jax.lax.dot_general(
+    o_ref[:, 0] = jax.lax.dot_general(
         attn.astype(mm_dtype), v.astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
 
 def _fused_fwd_pallas(q, k, v, w, b, *, scale: float, interpret: bool = False,
-                      mm_dtype=jnp.bfloat16):
+                      mm_dtype=jnp.bfloat16, rb: Optional[int] = None):
     """q, k, v: (R, H, P, hd); w: (H, kk) or None; b: (H,) or None.
-    mm_dtype: MXU input dtype (bf16 default; fp32 for bit-level tests)."""
+    mm_dtype: MXU input dtype (bf16 default; fp32 for bit-level tests).
+    rb: regions per program (must divide R; auto-picked when None)."""
     r, h, p, hd = q.shape
     kk = 0 if w is None else w.shape[1]
     has_bias = b is not None
     w_in = w if w is not None else jnp.zeros((h, 1), jnp.float32)
     b_in = (b if b is not None else jnp.zeros((h,), jnp.float32)).reshape(h, 1)
+    if rb is None:
+        rb = pick_rb(r, p, c_tiles=12, env="RRTMIL_PALLAS_RB", default=4)
+    assert r % rb == 0, (r, rb)
 
-    qkv_spec = pl.BlockSpec((1, 1, p, hd), lambda i, j: (i, j, 0, 0),
+    qkv_spec = pl.BlockSpec((rb, 1, p, hd), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
     # Full (H, kk) weight / (H, 1) bias per program: tiny, and full-array
     # blocks satisfy the TPU tiling rules where a (1, kk) block would not.
@@ -97,7 +134,7 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float, interpret: bool = False,
     return pl.pallas_call(
         functools.partial(_kernel, kk=kk, scale=scale, has_bias=has_bias,
                           mm_dtype=mm_dtype),
-        grid=(r, h),
+        grid=(r // rb, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),

@@ -7,7 +7,7 @@ Differentiates the forward of ops/pallas/region_attn.py:
     A   = softmax(Lc)
     out = A @ v
 
-Given g = d(out), per (region, head) tile entirely in VMEM:
+Given g = d(out), per (region-block, head) tile entirely in VMEM:
 
     dv  = A^T g
     dA  = g v^T
@@ -19,6 +19,10 @@ Given g = d(out), per (region, head) tile entirely in VMEM:
     dw[t] = sum_ij dLc[i, j] * L[i + t - pad, j] (accumulated across regions)
     db  = sum_ij dLc                             (accumulated across regions)
 
+Like the forward, RB regions are processed per program (grid = (R/RB, H),
+block (RB, 1, P, hd), batched dot_generals) to amortize per-program dispatch
+overhead over the tiny per-region matmuls.
+
 The dw/db accumulation uses the revisited-output-block pattern: their block
 index map is constant along the region grid axis, so the same VMEM buffer
 persists across the r-loop and is zero-initialized at r == 0.
@@ -29,48 +33,38 @@ instead of materializing the (R, H, P, P) probability tensor in HBM.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _shift_rows(mat, d: int):
-    """Rows shifted by d along axis 0, zero-filled (static d)."""
-    p = mat.shape[0]
-    if d == 0:
-        return mat
-    if d < 0:
-        return jnp.concatenate(
-            [jnp.zeros((-d, mat.shape[1]), jnp.float32), mat[: p + d]], axis=0)
-    return jnp.concatenate(
-        [mat[d:], jnp.zeros((d, mat.shape[1]), jnp.float32)], axis=0)
+from .region_attn import _shift_q, pick_rb
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dw_ref, db_ref,
                 *, kk: int, scale: float, has_bias: bool, mm_dtype):
     head = pl.program_id(1)
-    r = pl.program_id(0)
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    g = g_ref[0, 0]
-    p = q.shape[0]
+    rblk = pl.program_id(0)
+    q = q_ref[:, 0]                     # (RB, P, hd)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    g = g_ref[:, 0]
     pad = kk // 2
 
     # recompute forward logits / probabilities (same mm_dtype as forward so
     # the recomputed softmax matches the forward bit-for-bit)
     logits = jax.lax.dot_general(
         (q * scale).astype(mm_dtype), k.astype(mm_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (RB, P, P)
     lc = logits
     if kk > 0:
         pe = jnp.zeros_like(logits)
         for t in range(kk):
-            pe = pe + w_ref[head, t] * _shift_rows(logits, t - pad)
+            pe = pe + w_ref[head, t] * _shift_q(logits, t - pad)
         if has_bias:
             pe = pe + b_ref[head, 0]
         lc = logits + pe
@@ -79,24 +73,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
 
     # dv = A^T g
-    dv_ref[0, 0] = jax.lax.dot_general(
+    dv_ref[:, 0] = jax.lax.dot_general(
         attn.astype(mm_dtype), g.astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
     # softmax backward
     da = jax.lax.dot_general(
         g.astype(mm_dtype), v.astype(mm_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     dlc = attn * (da - jnp.sum(da * attn, axis=-1, keepdims=True))
 
     # conv backward: dL = dLc + conv^T(dLc); accumulate dw, db
     if kk > 0:
-        # zero-init once, at the very first program (r iterates outermost,
-        # head innermost; every program accumulates only into its own row
-        # but the init clears the whole shared block)
-        @pl.when((r == 0) & (head == 0))
+        # zero-init once, at the very first program (region blocks iterate
+        # outermost, head innermost; every program accumulates only into its
+        # own row but the init clears the whole shared block)
+        @pl.when((rblk == 0) & (head == 0))
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
             db_ref[...] = jnp.zeros_like(db_ref)
@@ -106,9 +100,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
         for t in range(kk):
             d = t - pad
             # forward: pe[i] += w[t] * L[i + d]  =>  dL[i'] += w[t]*dLc[i'-d]
-            dl = dl + w_ref[head, t] * _shift_rows(dlc, -d)
-            # dw[t] = sum_ij dLc[i, j] * L[i + d, j]
-            taps.append(jnp.sum(dlc * _shift_rows(logits, d)))
+            dl = dl + w_ref[head, t] * _shift_q(dlc, -d)
+            # dw[t] = sum_rij dLc[r, i, j] * L[r, i + d, j]
+            taps.append(jnp.sum(dlc * _shift_q(logits, d)))
         # row-wise accumulation (scalar VMEM stores are not supported)
         row = jnp.stack(taps).reshape(1, kk)
         dw_ref[pl.ds(head, 1), :] += row
@@ -118,27 +112,31 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
         dl = dlc
 
     # dq = scale * dL k ; dk = dL^T (q * scale)
-    dq_ref[0, 0] = scale * jax.lax.dot_general(
+    dq_ref[:, 0] = scale * jax.lax.dot_general(
         dl.astype(mm_dtype), k.astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dk_ref[0, 0] = jax.lax.dot_general(
+    dk_ref[:, 0] = jax.lax.dot_general(
         dl.astype(mm_dtype), (q * scale).astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
 
 def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
                                 interpret: bool = False,
-                                mm_dtype=jnp.bfloat16):
+                                mm_dtype=jnp.bfloat16,
+                                rb: Optional[int] = None):
     """Returns (dq, dk, dv, dw, db); dw/db are None when w/b are None."""
     r, h, p, hd = q.shape
     kk = 0 if w is None else w.shape[1]
     has_bias = b is not None
     w_in = w if w is not None else jnp.zeros((h, 1), jnp.float32)
     b_in = (b if b is not None else jnp.zeros((h,), jnp.float32)).reshape(h, 1)
+    if rb is None:
+        rb = pick_rb(r, p, c_tiles=30, env="RRTMIL_PALLAS_RB_BWD", default=4)
+    assert r % rb == 0, (r, rb)
 
-    qkv_spec = pl.BlockSpec((1, 1, p, hd), lambda i, j: (i, j, 0, 0),
+    qkv_spec = pl.BlockSpec((rb, 1, p, hd), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((h, max(kk, 1)), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -157,7 +155,7 @@ def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
     dq, dk, dv, dw, db = pl.pallas_call(
         functools.partial(_bwd_kernel, kk=kk, scale=scale, has_bias=has_bias,
                           mm_dtype=mm_dtype),
-        grid=(r, h),
+        grid=(r // rb, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec, qkv_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
