@@ -174,6 +174,10 @@ class RRTEncoderConfig:
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16': activation /
     # matmul dtype for the encoder stack (params stay fp32; LayerNorm and
     # softmax always compute in fp32).  bfloat16 halves HBM traffic on TPU.
+    backend: str = "auto"     # 'auto' | 'xla' | 'pallas': attention backend
+    # for every InnerAttention in the stack ('auto' = fused Pallas kernels
+    # on TPU, XLA elsewhere; 'pallas' forces the kernels, which combined
+    # with RRTMIL_PALLAS_INTERPRET=1 exercises them on CPU test meshes).
 
     def rmsa_layer(self) -> TransLayerConfig:
         region = RegionConfig(
@@ -183,7 +187,7 @@ class RRTEncoderConfig:
         attn = InnerAttentionConfig(
             dim=self.dim, num_heads=self.n_heads, head_dim=self.dim // self.n_heads,
             qkv_bias=self.qkv_bias, proj_dropout=self.dropout,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, backend=self.backend,
             epeg=EPEGConfig(enabled=self.epeg, k=self.epeg_k, two_d=self.epeg_2d,
                             bias=self.epeg_bias, kind=self.epeg_type))
         nys = NystromConfig(dim=self.dim, head_dim=self.trans_dim,
@@ -205,7 +209,7 @@ class RRTEncoderConfig:
             dim=self.dim, num_heads=self.crmsa_heads,
             head_dim=self.dim // self.crmsa_heads,
             qkv_bias=self.qkv_bias, proj_dropout=self.dropout,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, backend=self.backend,
             epeg=EPEGConfig(enabled=False))
         return TransLayerConfig(
             dim=self.dim, attn_mode="crmsa",

@@ -41,6 +41,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def env_interpret() -> bool:
+    """RRTMIL_PALLAS_INTERPRET=1 runs both fused kernels in interpreter mode
+    (any backend): used to exercise the Pallas code path -- including under
+    shard_map sequence sharding -- on CPU test meshes."""
+    return os.environ.get("RRTMIL_PALLAS_INTERPRET", "0") not in ("0", "")
+
+
 def _shift_q(mat, d: int):
     """(RB, P, P) shifted by d along the query axis (1), zero-filled."""
     if d == 0:
@@ -107,7 +114,8 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
         preferred_element_type=jnp.float32)
 
 
-def _fused_fwd_pallas(q, k, v, w, b, *, scale: float, interpret: bool = False,
+def _fused_fwd_pallas(q, k, v, w, b, *, scale: float,
+                      interpret: Optional[bool] = None,
                       mm_dtype=jnp.bfloat16, rb: Optional[int] = None):
     """q, k, v: (R, H, P, hd); w: (H, kk) or None; b: (H,) or None.
     mm_dtype: MXU input dtype (bf16 default; fp32 for bit-level tests).
@@ -120,6 +128,8 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float, interpret: bool = False,
     if rb is None:
         rb = pick_rb(r, p, c_tiles=12, env="RRTMIL_PALLAS_RB", default=4)
     assert r % rb == 0, (r, rb)
+    if interpret is None:
+        interpret = env_interpret()
 
     qkv_spec = pl.BlockSpec((rb, 1, p, hd), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -123,7 +123,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
 
 
 def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
-                                interpret: bool = False,
+                                interpret: Optional[bool] = None,
                                 mm_dtype=jnp.bfloat16,
                                 rb: Optional[int] = None):
     """Returns (dq, dk, dv, dw, db); dw/db are None when w/b are None."""
@@ -135,6 +135,9 @@ def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
     if rb is None:
         rb = pick_rb(r, p, c_tiles=30, env="RRTMIL_PALLAS_RB_BWD", default=4)
     assert r % rb == 0, (r, rb)
+    if interpret is None:
+        from .region_attn import env_interpret
+        interpret = env_interpret()
 
     qkv_spec = pl.BlockSpec((rb, 1, p, hd), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -90,23 +90,23 @@ def make_seqshard_forward(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
                           length=length, deterministic=True)
         return out
 
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # metadata, so the vma checker rejects the fused kernels under shard_map.
     fwd = shard_map(
         local_forward, mesh=mesh,
         in_specs=(P(), x_spec, m_spec),
         out_specs=batch_spec,
-        
+        check_vma=False,
     )
     return model, jax.jit(fwd), n_pad
 
 
-def make_seqshard_train_step(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
-                             tx, loss_fn, sp_axis: str = "sp"):
-    """Sequence-sharded training step: forward/backward through shard_map
-    (gradients of replicated params are psum-reduced by shard_map's
-    transpose), optimizer update replicated."""
-    import optax
-    from ..train.engine import TrainState
-
+def make_seqshard_value_and_grad(model_cfg: RRTMILConfig, mesh: Mesh,
+                                 length: int, loss_fn, sp_axis: str = "sp"):
+    """(model, value_and_grad(params, x, mask, labels, rng), n_pad) with the
+    forward/backward running through shard_map over the region axis
+    (gradients of the replicated params are psum-reduced by shard_map's
+    transpose)."""
     sp = mesh.shape[sp_axis]
     cfg = sharded_config(model_cfg, sp, sp_axis)
     model = RRTMIL(cfg)
@@ -127,15 +127,35 @@ def make_seqshard_train_step(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
             loss = jax.lax.pmean(loss, "dp")
         return loss
 
-    def step(state: TrainState, x, mask, labels, lr, rng):
-        def wrapped(params):
+    def value_and_grad(params, x, mask, labels, rng):
+        def wrapped(p):
+            # check_vma=False: pallas_call out_shapes carry no
+            # varying-mesh-axes metadata, so the vma checker rejects the
+            # fused kernels under shard_map.
             return shard_map(
-                partial(local_loss, params), mesh=mesh,
+                partial(local_loss, p), mesh=mesh,
                 in_specs=(x_spec, m_spec, l_spec, P()),
                 out_specs=P(),
+                check_vma=False,
             )(x, mask, labels, rng)
 
-        loss, grads = jax.value_and_grad(wrapped)(state.params)
+        return jax.value_and_grad(wrapped)(params)
+
+    return model, value_and_grad, n_pad
+
+
+def make_seqshard_train_step(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
+                             tx, loss_fn, sp_axis: str = "sp"):
+    """Sequence-sharded training step: forward/backward through shard_map,
+    optimizer update replicated."""
+    import optax
+    from ..train.engine import TrainState
+
+    model, value_and_grad, n_pad = make_seqshard_value_and_grad(
+        model_cfg, mesh, length, loss_fn, sp_axis)
+
+    def step(state: TrainState, x, mask, labels, lr, rng):
+        loss, grads = value_and_grad(state.params, x, mask, labels, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)

@@ -94,6 +94,61 @@ def test_seqshard_train_step_matches_single_device():
         np.asarray(jax.tree.leaves(new_state.params)[0])).all()
 
 
+def test_seqshard_with_fused_pallas_kernels(monkeypatch):
+    """The fused Pallas fwd+bwd kernels (interpret mode on the CPU mesh)
+    compose with shard_map sequence sharding: sp forward and train-step loss
+    match the single-device model running the SAME kernels."""
+    monkeypatch.setenv("RRTMIL_PALLAS_INTERPRET", "1")
+    cfg = _cfg(region_num=8)
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder, backend="pallas"))
+    length = 1000            # grid 32, rs=4: P=16 tokens per region
+    sp = 4
+    if len(jax.devices()) < sp:
+        pytest.skip("not enough devices")
+    n_pad = check_shardable(length, dataclasses.replace(
+        cfg.encoder, sp_shards=sp, sp_axis="sp"), sp)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, n_pad, cfg.input_dim), jnp.float32)
+    mask = (jnp.arange(n_pad) < length)[None]
+    labels = jnp.asarray([0], jnp.int32)
+
+    ref_model = RRTMIL(cfg)
+    params = ref_model.init({"params": key}, x, mask=mask, length=length,
+                            deterministic=True)["params"]
+    ref = ref_model.apply({"params": params}, x, mask=mask, length=length,
+                          deterministic=True)
+
+    def ref_loss(p):
+        logits = ref_model.apply({"params": p}, x, mask=mask, length=length,
+                                 deterministic=False,
+                                 rngs={"dropout": jax.random.PRNGKey(7)})
+        return cross_entropy(logits, labels)
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+
+    mesh = make_mesh(dp=1, sp=sp, devices=jax.devices()[:sp])
+    _, fwd, _ = make_seqshard_forward(cfg, mesh, length)
+    from rrtmil_tpu.parallel.seqshard import make_seqshard_value_and_grad
+    _, vag, _ = make_seqshard_value_and_grad(cfg, mesh, length, cross_entropy)
+    with mesh:
+        got = fwd(params, x, mask)
+        l_sh, g_sh = jax.jit(vag)(params, x, mask, labels,
+                                  jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=3e-5)
+
+    # the fused Pallas BACKWARD under shard_map: psum-reduced param grads
+    # must match single-device grads
+    flat_sh = jax.tree_util.tree_leaves_with_path(g_sh)
+    flat_ref = jax.tree.leaves(g_ref)
+    for (path, a), b in zip(flat_sh, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_check_shardable_rejects_misaligned():
     cfg = dataclasses.replace(_cfg().encoder, region_num=8, sp_shards=16,
                               sp_axis="sp")

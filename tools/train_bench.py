@@ -1,0 +1,79 @@
+"""Full training-step benchmark: fwd + fused Pallas backward + Adam at the
+flagship shape (RRTMIL, Camelyon16-R50 config, N~9k), matching bench.py's
+loop-in-jit timing methodology (the tunnel's block_until_ready is
+unreliable).  Prints ms/slide for fp32 and bf16 activation modes at batch
+1 and 8."""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from rrtmil_tpu.config import c16_r50
+from rrtmil_tpu.data.bucketing import bucket_for
+from rrtmil_tpu.models import RRTMIL
+from rrtmil_tpu.train.engine import Engine, EngineConfig
+
+N_PATCHES = 9000
+ITERS = 20
+
+
+def measure(batch: int, compute_dtype: str) -> float:
+    cfg = c16_r50()
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder,
+                                         compute_dtype=compute_dtype))
+    model = RRTMIL(cfg)
+    engine = Engine(model, EngineConfig(), encoder_cfg=cfg.encoder)
+    spec = bucket_for(N_PATCHES, cfg.encoder)
+    key = jax.random.PRNGKey(0)
+    state = engine.init(key, N_PATCHES, cfg.input_dim)
+
+    x = jax.random.normal(key, (batch, spec.data_length, cfg.input_dim),
+                          jnp.float32)
+    mask = jnp.broadcast_to(jnp.arange(spec.data_length)[None] < N_PATCHES,
+                            (batch, spec.data_length))
+    labels = jnp.zeros((batch,), jnp.int32)
+    lr = jnp.float32(2e-4)
+
+    def loop(state, k):
+        def body(i, st):
+            st, *_ = engine._train_step(
+                st, x + 1e-6 * i, mask, labels, lr,
+                jax.random.fold_in(key, i), spec.repr_length)
+            return st
+        return jax.lax.fori_loop(0, k, body, state)
+
+    run = jax.jit(loop, static_argnums=(1,))
+
+    def fetch(st):
+        return float(np.asarray(jax.tree.leaves(st.params)[0]).ravel()[0])
+
+    fetch(run(state, 1))                  # compile + warm
+    fetch(run(state, ITERS))
+    t0 = time.perf_counter(); fetch(run(state, 1)); t1 = time.perf_counter()
+    t2 = time.perf_counter(); fetch(run(state, ITERS)); t3 = time.perf_counter()
+    per_step = ((t3 - t2) - (t1 - t0)) / (ITERS - 1)
+    return per_step / batch
+
+
+if __name__ == "__main__":
+    print(f"devices: {jax.devices()}", flush=True)
+    for dt in ("bfloat16", "float32"):
+        for b in (1, 8):
+            try:
+                ms = measure(b, dt) * 1e3
+                print(f"{dt:9s} batch={b}  {ms:7.3f} ms/slide "
+                      f"({1e3 / ms:7.1f} slides/s)", flush=True)
+            except Exception as e:
+                print(f"{dt:9s} batch={b}  FAILED: {str(e)[:120]}", flush=True)
