@@ -103,3 +103,102 @@ def smooth_top1_svm(scores: jnp.ndarray, labels: jnp.ndarray,
     top2 = jax.lax.top_k(scores, 2)[0]
     is_hard = (top2[:, 0] - top2[:, 1]) >= tau * jnp.log(thresh)
     return jnp.mean(jnp.where(is_hard, hard, smooth))
+
+
+# ---------------------------------------------------------------------------
+# General top-k SVM losses (reference modules/topk/svm.py:49-136)
+# ---------------------------------------------------------------------------
+#
+# The reference computes the smooth top-k loss through log-space elementary
+# symmetric polynomials (ESPs) sigma_{k-1}, sigma_k of exp(x) via
+# divide-and-conquer polynomial multiplication with a hand-written autograd
+# Function (modules/topk/polynomial/{sp,divide_conquer,multiplication,
+# grad}.py) -- machinery sized for 1000-class ImageNet.  At MIL class counts
+# (C <= ~10) a direct O(C*k) log-space DP is exactly as stable and
+# differentiates cleanly under JAX autodiff, so no custom_vjp is needed.
+
+_NEG = -1e30      # log-space "zero" (finite: -inf poisons logaddexp grads)
+
+
+def log_esp(x: jnp.ndarray, kmax: int) -> jnp.ndarray:
+    """log sigma_j of exp(x) for j = 0..kmax; x: (n, m) log-space terms.
+
+    DP over terms: sigma_j <- sigma_j + exp(x_i) * sigma_{j-1}, kept in log
+    space (the stable equivalent of polynomial/divide_conquer.py).  ESPs are
+    symmetric, so term order is irrelevant.
+    """
+    n, m = x.shape
+    init = jnp.full((n, kmax + 1), _NEG, x.dtype).at[:, 0].set(0.0)
+
+    def body(carry, xi):
+        shifted = jnp.concatenate(
+            [jnp.full((n, 1), _NEG, x.dtype), carry[:, :-1]], axis=1)
+        return jnp.logaddexp(carry, shifted + xi[:, None]), None
+
+    out, _ = jax.lax.scan(body, init, x.T)
+    return out
+
+
+def _split_mask(scores, labels):
+    """delta-style masking: ground-truth slot replaced by the log-space zero
+    so ESP/top-k over all C slots equals the reference's x_1 = non-gt scores
+    (a zero factor drops out of every ESP term; reference topk/utils.py:24-33)."""
+    n, c = scores.shape
+    onehot = jax.nn.one_hot(labels, c, dtype=bool)
+    x1 = jnp.where(onehot, _NEG, scores)
+    x2 = jnp.take_along_axis(scores, labels[:, None], axis=1)[:, 0]
+    return x1, x2
+
+
+def max_top1_svm(scores: jnp.ndarray, labels: jnp.ndarray,
+                 alpha: float = 1.0) -> jnp.ndarray:
+    """MaxTop1SVM: hard top-1 hinge (svm.py:49-60, functional.py:10-17)."""
+    n, c = scores.shape
+    delta = alpha * (1.0 - jax.nn.one_hot(labels, c, dtype=scores.dtype))
+    truth = jnp.take_along_axis(scores, labels[:, None], axis=1)[:, 0]
+    return jnp.mean(jnp.max(scores + delta, axis=1) - truth)
+
+
+def _topk_hard(scores, labels, k: int, alpha: float):
+    """Topk_Hard_SVM per-sample loss (functional.py:20-32)."""
+    x1, x2 = _split_mask(scores, labels)
+    top_k = jax.lax.top_k(x1, k)[0]                  # top-k of non-gt
+    max_1 = jnp.mean(top_k + alpha, axis=1)
+    max_2 = (jnp.sum(top_k[:, : k - 1], axis=1) + x2) / k
+    return jnp.maximum(max_1 - max_2, 0.0)
+
+
+def max_topk_svm(scores: jnp.ndarray, labels: jnp.ndarray, k: int,
+                 alpha: float = 1.0) -> jnp.ndarray:
+    """MaxTopkSVM (svm.py:63-76)."""
+    return jnp.mean(_topk_hard(scores, labels, k, alpha))
+
+
+def _topk_smooth(scores, labels, k: int, alpha: float, tau: float):
+    """Topk_Smooth_SVM per-sample loss (functional.py:35-71).
+
+    tau * (log[sigma_k(e^{x1/ktau}) e^{alpha/tau}
+              + sigma_{k-1}(e^{x1/ktau}) e^{x2/ktau}]
+           - log[sigma_{k-1}(e^{x1/ktau}) e^{x2/ktau}])
+    = tau * softplus(log sigma_k - log sigma_{k-1} + alpha/tau - x2/(k tau))
+    """
+    x1, x2 = _split_mask(scores, labels)
+    esp = log_esp(x1 / (k * tau), k)
+    log_sk, log_skm1 = esp[:, k], esp[:, k - 1]
+    return tau * jax.nn.softplus(
+        log_sk - log_skm1 + alpha / tau - x2 / (k * tau))
+
+
+def smooth_topk_svm(scores: jnp.ndarray, labels: jnp.ndarray, k: int,
+                    alpha: float = 1.0, tau: float = 1.0,
+                    thresh: float = 1e3) -> jnp.ndarray:
+    """SmoothTopkSVM (svm.py:108-136): per-sample smooth/hard switch via
+    detect_large (topk/utils.py:36-42) -- a sample goes hard when the gap
+    between its k-th and (k+1)-th largest raw score exceeds
+    k * tau * log(thresh) (the smooth ESPs would saturate there; the two
+    forms agree in that limit)."""
+    smooth = _topk_smooth(scores, labels, k, alpha, tau)
+    hard = _topk_hard(scores, labels, k, alpha)
+    top = jax.lax.top_k(scores, k + 1)[0]
+    is_hard = (top[:, k - 1] - top[:, k]) >= k * tau * jnp.log(thresh)
+    return jnp.mean(jnp.where(is_hard, hard, smooth))

@@ -596,9 +596,41 @@ def gen_train_steps():
           "labels": np.array(labels)})
 
 
+def gen_topk_svm():
+    """Loss values AND input gradients of the reference topk SVM family
+    (modules/topk/svm.py) on mixed smooth/hard batches."""
+    from modules.topk.svm import (MaxTop1SVM, MaxTopkSVM, SmoothTop1SVM,
+                                  SmoothTopkSVM)
+
+    seeded()
+    n, c = 12, 8
+    x = torch.randn(n, c)
+    x[3] *= 40.0          # top-gap >> k*tau*log(1e3): forces the hard branch
+    x[7] *= 40.0
+    y = torch.randint(0, c, (n,))
+
+    cases = {
+        "smooth_top1": SmoothTop1SVM(n_classes=c, tau=1.0),
+        "smooth_top1_tau05": SmoothTop1SVM(n_classes=c, tau=0.5),
+        "smooth_topk3": SmoothTopkSVM(n_classes=c, k=3, tau=1.0),
+        "smooth_topk5_tau07": SmoothTopkSVM(n_classes=c, k=5, tau=0.7),
+        "max_top1": MaxTop1SVM(n_classes=c),
+        "max_topk3": MaxTopkSVM(n_classes=c, k=3),
+    }
+    outputs = {}
+    for name, mod in cases.items():
+        xg = x.clone().requires_grad_(True)
+        loss = mod(xg, y)
+        loss.backward()
+        outputs[f"{name}_loss"] = np.asarray(loss.item(), np.float32)
+        outputs[f"{name}_grad"] = t2n(xg.grad)
+    save("topk_svm", {"x": t2n(x), "y": y.numpy()}, {}, outputs)
+
+
 def main():
     print("Generating goldens from /root/reference (torch CPU)...")
     gen_train_steps()
+    gen_topk_svm()
     gen_attmil()
     gen_attmil_rrt()
     gen_mean_max()
