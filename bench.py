@@ -48,7 +48,7 @@ def _enable_compile_cache():
         pass
 
 
-def measure(batch: int, iters: int = 20) -> float:
+def measure(batch: int, iters: int = 100, repeats: int = 3) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -85,13 +85,18 @@ def measure(batch: int, iters: int = 20) -> float:
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     float(np.asarray(fwd_loop(params, x, mask, 1)))   # compile + warm
-    t0 = time.perf_counter()
     float(np.asarray(fwd_loop(params, x, mask, iters)))
-    dt_k = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(np.asarray(fwd_loop(params, x, mask, 1)))
-    dt_1 = time.perf_counter() - t0
-    per_fwd = max((dt_k - dt_1) / (iters - 1), 1e-9)
+    # tunnel fetch latency is noisy and strictly additive, so take the
+    # best (K-1)-forward delta over several repeats
+    per_fwd = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(fwd_loop(params, x, mask, iters)))
+        dt_k = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(fwd_loop(params, x, mask, 1)))
+        dt_1 = time.perf_counter() - t0
+        per_fwd = min(per_fwd, max((dt_k - dt_1) / (iters - 1), 1e-9))
     return batch / per_fwd
 
 

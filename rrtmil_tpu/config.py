@@ -59,6 +59,14 @@ class InnerAttentionConfig:
     # region-attention kernel (ops/pallas/region_attn.py); 'auto' uses the
     # Pallas kernel on TPU when the config is fusable (1-D 'attn' EPEG or no
     # EPEG, no attention dropout).
+    epeg_fold: bool = True              # fold the (k,1) EPEG conv into q
+    # before the fused kernel (exact: the query-axis conv commutes with the
+    # key matmul, ops/epeg.epeg_fold_q) so the kernel runs its plain
+    # attention path; only affects the fused backend.
+    mm_dtype: str = "bfloat16"          # MXU input dtype of the fused
+    # kernels (accumulation is always fp32).  bf16 is the fast path on TPU
+    # (fp32 MXU inputs take the slow multi-pass path); 'float32' gives
+    # bit-level agreement with the XLA formulation for parity runs/tests.
 
     @property
     def resolved_head_dim(self) -> int:
@@ -178,6 +186,8 @@ class RRTEncoderConfig:
     # for every InnerAttention in the stack ('auto' = fused Pallas kernels
     # on TPU, XLA elsewhere; 'pallas' forces the kernels, which combined
     # with RRTMIL_PALLAS_INTERPRET=1 exercises them on CPU test meshes).
+    mm_dtype: str = "bfloat16"  # fused-kernel MXU input dtype (see
+    # InnerAttentionConfig.mm_dtype); 'float32' for strict parity runs.
 
     def rmsa_layer(self) -> TransLayerConfig:
         region = RegionConfig(
@@ -188,6 +198,7 @@ class RRTEncoderConfig:
             dim=self.dim, num_heads=self.n_heads, head_dim=self.dim // self.n_heads,
             qkv_bias=self.qkv_bias, proj_dropout=self.dropout,
             compute_dtype=self.compute_dtype, backend=self.backend,
+            mm_dtype=self.mm_dtype,
             epeg=EPEGConfig(enabled=self.epeg, k=self.epeg_k, two_d=self.epeg_2d,
                             bias=self.epeg_bias, kind=self.epeg_type))
         nys = NystromConfig(dim=self.dim, head_dim=self.trans_dim,
@@ -210,6 +221,7 @@ class RRTEncoderConfig:
             head_dim=self.dim // self.crmsa_heads,
             qkv_bias=self.qkv_bias, proj_dropout=self.dropout,
             compute_dtype=self.compute_dtype, backend=self.backend,
+            mm_dtype=self.mm_dtype,
             epeg=EPEGConfig(enabled=False))
         return TransLayerConfig(
             dim=self.dim, attn_mode="crmsa",

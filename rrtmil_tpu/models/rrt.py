@@ -31,6 +31,7 @@ Design notes (vs. the PyTorch reference):
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -40,7 +41,7 @@ from flax import linen as nn
 from ..config import (CRMSAConfig, InnerAttentionConfig, PoolConfig,
                       PosEmbedConfig, RMSAConfig, RRTEncoderConfig,
                       RRTMILConfig, TransLayerConfig)
-from ..ops.epeg import depthwise_conv2d_nchw, epeg_logit_conv
+from ..ops.epeg import depthwise_conv2d_nchw, epeg_fold_q, epeg_logit_conv
 from ..ops.regions import grid_geometry, region_partition, region_reverse
 from ..utils.inits import crmsa_phi_init, xavier_normal, zeros
 from .nystrom import NystromAttention
@@ -149,8 +150,18 @@ class InnerAttention(nn.Module):
                         if ep.bias else None)
             else:
                 w, bias = None, None
+            if (w is not None and cfg.epeg_fold
+                    and os.environ.get("RRTMIL_EPEG_FOLD", "1") != "0"):
+                # Fold the EPEG conv into q (exact: the query-axis conv
+                # commutes with the key matmul, ops/epeg.epeg_fold_q) so the
+                # kernel runs its plain kk=0 path; pe_bias is key-constant
+                # and cancels in the row softmax (zero grad, as in the
+                # reference), so it is dropped from the compute.
+                q = (q.astype(jnp.float32) + epeg_fold_q(q, w)).astype(cdt)
+                w, bias = None, None
             # kernel accepts bf16 refs directly (half the DMA); output fp32
-            out = region_attention_fused(q, k, v, w, bias, cfg.scale)
+            out = region_attention_fused(q, k, v, w, bias, cfg.scale,
+                                         jnp.dtype(cfg.mm_dtype))
             out = out.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
             out = out.astype(cdt)
         else:

@@ -61,3 +61,33 @@ def epeg_logit_conv(
     padding = ((pad, pad), (pad, pad)) if two_d else ((pad, pad), (0, 0))
     return depthwise_conv2d_nchw(attn, kernel_hwio, bias, padding,
                                  groups=attn.shape[1])
+
+
+def epeg_fold_q(q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """EPEG folded onto q: the (k,1) depthwise conv over the *query* axis of
+    the logit map commutes with the key matmul,
+
+        conv_q((q * s) @ k^T) == conv_q(q * s) @ k^T,
+
+    because the conv only shifts whole rows of the logit map and row i of
+    (q @ k^T) depends on row i of q alone; the conv's zero-padded logit rows
+    beyond the region boundary correspond exactly to zero q rows.  Folding
+    moves the EPEG from an O(P^2 k) VPU pass over the logit tile inside the
+    fused attention kernel to an O(P hd k) elementwise pass on q, and lets
+    the kernel run its plain (kk=0) path.  Exact (up to fp reassociation)
+    w.r.t. the reference's conv-on-logits (rmsa.py:83,106-108); pe_bias is
+    constant across keys so it cancels in the row softmax and is dropped
+    (its loss gradient is identically zero in the reference too).
+
+    q: (B_, H, P, hd); w: (H, kk) cross-correlation taps (tap t reads query
+    row i + t - kk//2, matching torch Conv2d).  Returns conv(q) in fp32.
+    """
+    kk = w.shape[1]
+    pad = kk // 2
+    n = q.shape[2]
+    padded = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    pe = jnp.zeros(q.shape, jnp.float32)
+    for t in range(kk):
+        pe = pe + w[None, :, t, None, None].astype(jnp.float32) * \
+            jax.lax.slice_in_dim(padded, t, t + n, axis=2)
+    return pe

@@ -102,3 +102,55 @@ def test_bwd_kernel_matches_vjp(kk):
             continue
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("kk", [15, 9, 1])
+def test_epeg_fold_matches_conv_on_logits(kk):
+    """epeg_fold_q: conv_q(qs) @ k^T == conv_q(qs @ k^T) -- the algebraic
+    identity that lets InnerAttention run the plain kk=0 kernel (fwd AND
+    gradients, including dw through the fold)."""
+    from rrtmil_tpu.ops.epeg import epeg_fold_q
+    q, k, v, w, b = _inputs(r=2, p=64, kk=kk)
+    scale = 0.125
+
+    def loss_ref(q, k, v, w):
+        # bias omitted: key-constant, cancels in the row softmax
+        return (_fused_fwd_xla(q, k, v, w, None, scale=scale) * v).sum()
+
+    def loss_fold(q, k, v, w):
+        qf = q + epeg_fold_q(q, w)
+        return (_fused_fwd_xla(qf, k, v, None, None, scale=scale) * v).sum()
+
+    ref = _fused_fwd_xla(q, k, v, w, b, scale=scale)
+    got = _fused_fwd_xla(q + epeg_fold_q(q, w), k, v, None, None, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, w)
+    g_fold = jax.grad(loss_fold, argnums=(0, 1, 2, 3))(q, k, v, w)
+    for a, c in zip(g_fold, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-4)
+
+
+def test_inner_attention_fold_matches_unfolded_module():
+    """InnerAttention with epeg_fold on/off: same params, same output
+    (pallas backend, interpret mode)."""
+    import dataclasses
+    import os
+    from rrtmil_tpu.config import EPEGConfig, InnerAttentionConfig
+    from rrtmil_tpu.models.rrt import InnerAttention
+
+    os.environ["RRTMIL_PALLAS_INTERPRET"] = "1"
+    try:
+        base = InnerAttentionConfig(
+            dim=64, num_heads=4, backend="pallas", mm_dtype="float32",
+            epeg=EPEGConfig(enabled=True, k=9, bias=True))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 36, 64))
+        m_fold = InnerAttention(dataclasses.replace(base, epeg_fold=True))
+        m_ref = InnerAttention(dataclasses.replace(base, epeg_fold=False))
+        params = m_ref.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+        ref = m_ref.apply({"params": params}, x)
+        got = m_fold.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5)
+    finally:
+        os.environ.pop("RRTMIL_PALLAS_INTERPRET", None)

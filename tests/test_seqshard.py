@@ -100,8 +100,11 @@ def test_seqshard_with_fused_pallas_kernels(monkeypatch):
     match the single-device model running the SAME kernels."""
     monkeypatch.setenv("RRTMIL_PALLAS_INTERPRET", "1")
     cfg = _cfg(region_num=8)
+    # fp32 MXU inputs: the sharding comparison is exact (bf16 would add
+    # rounding-cliff noise unrelated to the collectives under test)
     cfg = dataclasses.replace(
-        cfg, encoder=dataclasses.replace(cfg.encoder, backend="pallas"))
+        cfg, encoder=dataclasses.replace(cfg.encoder, backend="pallas",
+                                         mm_dtype="float32"))
     length = 1000            # grid 32, rs=4: P=16 tokens per region
     sp = 4
     if len(jax.devices()) < sp:

@@ -64,3 +64,22 @@ for rb in (1, 2, 4, 8, 16):
         print(f"rb={rb:3d}  bwd {tb*1e3:7.3f} ms", flush=True)
     except Exception as e:
         print(f"rb={rb:3d}  bwd FAILED: {str(e)[:120]}", flush=True)
+
+# post-epeg-fold shapes: the production path runs the PLAIN (kk=0) kernels
+print("--- kk=0 (epeg_fold production path) ---", flush=True)
+for rb in (1, 2, 4, 8, 16, 32, 64):
+    try:
+        tf = timed(lambda *a: _fused_fwd_pallas(*a, w=None, b=None,
+                                                scale=SCALE, rb=rb),
+                   q, k, v)
+        print(f"rb={rb:3d}  fwd0 {tf*1e3:7.3f} ms", flush=True)
+    except Exception as e:
+        print(f"rb={rb:3d}  fwd0 FAILED: {str(e)[:120]}", flush=True)
+    try:
+        tb = timed(lambda *a: region_attention_bwd_pallas(
+                       a[0], a[1], a[2], None, None, a[3],
+                       scale=SCALE, rb=rb),
+                   q, k, v, g)
+        print(f"rb={rb:3d}  bwd0 {tb*1e3:7.3f} ms", flush=True)
+    except Exception as e:
+        print(f"rb={rb:3d}  bwd0 FAILED: {str(e)[:120]}", flush=True)
