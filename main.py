@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     # Model
     parser.add_argument("--ds_average", action="store_true")
+    parser.add_argument("--dsmil_init", default="", type=str,
+                        help="dsmil warm-start checkpoint (.pth or .npz from "
+                             "tools/convert_dsmil_init.py); the reference "
+                             "hardcodes ./modules/init_cpk/dsmil_init.pth "
+                             "(main.py:215, a typo'd path)")
     parser.add_argument("--only_rrt_enc", action="store_true")
     parser.add_argument("--act", default="relu", type=str)
     parser.add_argument("--dropout", default=0.25, type=float)
@@ -135,6 +140,8 @@ def main():
     args = postprocess_args(build_parser().parse_args())
     print(args)
     print(time.asctime(time.localtime(time.time())))
+    from rrtmil_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     from rrtmil_tpu.harness.classification import run_cv
     run_cv(args)
 

@@ -126,13 +126,26 @@ def get_kfold(k: int, patients: np.ndarray, labels: np.ndarray,
 
 
 class BagDataset:
-    """Base: a sequence of (features (N, D) float32, label int) bags."""
+    """Base: a sequence of (features (N, D) float32, label int) bags.
+
+    `keep_same_psize` (--same_psize): resample every bag to exactly that many
+    patches -- random without replacement (with replacement when the bag is
+    shorter) per access on the train split, deterministic per slide on eval.
+    NOTE the reference's own knob is vestigial/broken: C16Dataset stores it
+    and never uses it, TCGADataset only switches the file listing to
+    h5_files/ while still loading from pt_files/ (dataloader.py:122,155-160)
+    -- this is the working interpretation, ledgered in docs/PARITY.md.
+    """
 
     slide_path: List[str]
     slide_label: List[int]
 
-    def __init__(self, persistence: bool = False):
+    def __init__(self, persistence: bool = False, keep_same_psize: int = 0,
+                 is_train: bool = False):
         self.persistence = persistence
+        self.keep_same_psize = int(keep_same_psize)
+        self.is_train = is_train
+        self._psize_rng = np.random.default_rng(7784414403328510413)
         self._cache: List[Optional[np.ndarray]] = []
 
     def _finalize(self):
@@ -144,7 +157,7 @@ class BagDataset:
     def __len__(self):
         return len(self.slide_path)
 
-    def bag(self, idx: int) -> np.ndarray:
+    def _load(self, idx: int) -> np.ndarray:
         if self._cache[idx] is None:
             feats = load_feature_file(self.slide_path[idx])
             if self.persistence:
@@ -152,11 +165,27 @@ class BagDataset:
             return feats
         return self._cache[idx]
 
+    def _same_psize(self, feats: np.ndarray, idx: int) -> np.ndarray:
+        p = self.keep_same_psize
+        rng = self._psize_rng if self.is_train else \
+            np.random.default_rng(1000003 * idx + 7)
+        n = feats.shape[0]
+        sel = rng.choice(n, size=p, replace=n < p)
+        return feats[np.sort(sel)]
+
+    def bag(self, idx: int) -> np.ndarray:
+        feats = self._load(idx)
+        if self.keep_same_psize > 0:
+            feats = self._same_psize(feats, idx)
+        return feats
+
     def __getitem__(self, idx: int):
         return self.bag(idx), self.slide_label[idx]
 
     def lengths(self) -> List[int]:
         """Bag lengths (loads headers lazily; caches on persistence)."""
+        if self.keep_same_psize > 0:
+            return [self.keep_same_psize] * len(self)
         return [self.bag(i).shape[0] for i in range(len(self))]
 
 
@@ -165,8 +194,9 @@ class C16Dataset(BagDataset):
     (reference dataloader.py:162-203)."""
 
     def __init__(self, file_names: Sequence[str], file_labels: Sequence,
-                 root: str, persistence: bool = False):
-        super().__init__(persistence)
+                 root: str, persistence: bool = False,
+                 keep_same_psize: int = 0, is_train: bool = False):
+        super().__init__(persistence, keep_same_psize, is_train)
         subdir = os.path.join(root, "pt")
         self.slide_path = []
         for name in file_names:
@@ -187,8 +217,9 @@ class TCGADataset(BagDataset):
 
     def __init__(self, patient_names: Sequence[str], patient_labels: Sequence,
                  root: str, max_patch: int = -1, persistence: bool = False,
-                 subtype: str = "nsclc"):
-        super().__init__(persistence)
+                 subtype: str = "nsclc", keep_same_psize: int = 0,
+                 is_train: bool = False):
+        super().__init__(persistence, keep_same_psize, is_train)
         self.max_patch = max_patch
         all_pts = sorted(os.listdir(os.path.join(root, "pt_files")))
         self.slide_path, raw_labels = [], []
@@ -201,8 +232,8 @@ class TCGADataset(BagDataset):
         self.slide_label = [0 if l == pos else 1 for l in raw_labels]
         self._finalize()
 
-    def bag(self, idx: int) -> np.ndarray:
-        feats = super().bag(idx)
+    def _load(self, idx: int) -> np.ndarray:
+        feats = super()._load(idx)
         if 0 < self.max_patch < feats.shape[0]:
             sel = np.random.permutation(feats.shape[0])[: self.max_patch]
             feats = feats[sel]
@@ -212,12 +243,14 @@ class TCGADataset(BagDataset):
 class ArrayDataset(BagDataset):
     """In-memory bags (testing / synthetic data)."""
 
-    def __init__(self, bags: Sequence[np.ndarray], labels: Sequence[int]):
-        super().__init__(persistence=False)
+    def __init__(self, bags: Sequence[np.ndarray], labels: Sequence[int],
+                 keep_same_psize: int = 0, is_train: bool = False):
+        super().__init__(persistence=False, keep_same_psize=keep_same_psize,
+                         is_train=is_train)
         self._bags = [np.asarray(b, dtype=np.float32) for b in bags]
         self.slide_path = [f"mem://{i}" for i in range(len(bags))]
         self.slide_label = [int(l) for l in labels]
         self._cache = [None] * len(self._bags)
 
-    def bag(self, idx: int) -> np.ndarray:
+    def _load(self, idx: int) -> np.ndarray:
         return self._bags[idx]

@@ -88,20 +88,25 @@ def engine_config_from_args(args) -> EngineConfig:
         patch_shuffle=args.patch_shuffle, group_shuffle=args.group_shuffle,
         shuffle_group=args.shuffle_group, seed=args.seed,
         exact=args.model == "transmil",
-        aux_mode=zoo.aux_mode(args.model))
+        aux_mode=zoo.aux_mode(args.model),
+        ds_average=args.model == "dsmil" and getattr(args, "ds_average",
+                                                     False),
+        fix_loader_random=getattr(args, "fix_loader_random", False))
 
 
 def _make_datasets(args, fold, splits):
     train_p, train_l, test_p, test_l, val_p, val_l = splits[fold]
+    psize = getattr(args, "same_psize", 0)
     if args.datasets.lower() == "camelyon16":
-        mk = lambda p, l: C16Dataset(p, l, root=args.dataset_root,
-                                     persistence=args.persistence)
+        mk = lambda p, l, tr=False: C16Dataset(
+            p, l, root=args.dataset_root, persistence=args.persistence,
+            keep_same_psize=psize, is_train=tr)
     else:
-        mk = lambda p, l: TCGADataset(p, l, root=args.dataset_root,
-                                      max_patch=args.tcga_max_patch,
-                                      persistence=args.persistence,
-                                      subtype=args.tcga_sub)
-    train_set = mk(train_p, train_l)
+        mk = lambda p, l, tr=False: TCGADataset(
+            p, l, root=args.dataset_root, max_patch=args.tcga_max_patch,
+            persistence=args.persistence, subtype=args.tcga_sub,
+            keep_same_psize=psize, is_train=tr)
+    train_set = mk(train_p, train_l, True)
     test_set = mk(test_p, test_l)
     val_set = mk(val_p, val_l) if args.val_ratio != 0.0 else test_set
     return train_set, val_set, test_set
@@ -135,6 +140,15 @@ def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
     state = engine.init(jax.random.PRNGKey(args.seed), example_len,
                         args.input_dim)
 
+    if args.model == "dsmil" and getattr(args, "dsmil_init", ""):
+        # warm-start from the shipped dsmil_init checkpoint, non-strict
+        # (reference main.py:215-218 -- which crashes on the init_cpk path
+        # typo; we take the path from a flag instead)
+        from ..models.dsmil import load_warm_start
+        state = state.replace(params=load_warm_start(state.params,
+                                                     args.dsmil_init))
+        logger.print(f"dsmil warm-start loaded from {args.dsmil_init}")
+
     sub_typing = args.datasets.lower() != "camelyon16"
     is_c16 = args.datasets.lower() == "camelyon16"
     early = EarlyStopping(
@@ -148,7 +162,14 @@ def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
     best = {"acc": 0, "pre": 0, "rec": 0, "fs": 0, "auc": 0, "epoch": 0,
             "te_auc": 0.0, "te_fs": 0.0}
     epoch_start = 0
-    epoch_key = jax.random.PRNGKey(args.seed + 1000 * fold)
+    if getattr(args, "fix_train_random", False):
+        # the reference re-seeds every RNG right before the epoch loop
+        # (seed_torch(args.seed), main.py:254-255) so all folds train with
+        # identical random streams; forced on for camelyon16 (main.py:731).
+        engine.reseed(args.seed)
+        epoch_key = jax.random.PRNGKey(args.seed)
+    else:
+        epoch_key = jax.random.PRNGKey(args.seed + 1000 * fold)
 
     if resume_payload is not None:
         state, _ = ckpt.load_rolling(state)
@@ -248,13 +269,6 @@ def run_cv(args) -> Dict[str, List[float]]:
 
     splits = get_kfold(args.cv_fold, patients, labels, args.val_ratio)
 
-    logger = Logger(use_wandb=args.wandb, project=args.project,
-                    name=args.title, config=vars(args),
-                    log_dir=args.model_path, quiet=args.no_log)
-
-    metrics = {"acs": [], "pre": [], "rec": [], "fs": [], "auc": [],
-               "te_auc": [], "te_fs": []}
-
     fold_start = args.fold_start
     resume_payload = None
     if args.auto_resume and not args.no_log:
@@ -264,7 +278,17 @@ def run_cv(args) -> Dict[str, List[float]]:
             resume_payload = load_host_state(
                 os.path.join(args.model_path, "ckp_host.pkl"))
             fold_start = resume_payload["fold"]
-            metrics = resume_payload["metrics"]
+
+    # re-attach the same wandb run on resume (reference main.py:740-742)
+    logger = Logger(use_wandb=args.wandb, project=args.project,
+                    name=args.title, config=vars(args),
+                    log_dir=args.model_path, quiet=args.no_log,
+                    wandb_id=(resume_payload or {}).get("wandb_id") or None)
+
+    metrics = {"acs": [], "pre": [], "rec": [], "fs": [], "auc": [],
+               "te_auc": [], "te_fs": []}
+    if resume_payload is not None:
+        metrics = resume_payload["metrics"]
 
     for k in range(fold_start, args.cv_fold):
         logger.print(f"Start {args.cv_fold}-fold cross validation: fold {k}")

@@ -109,11 +109,34 @@ class DTFDClassificationEngine(Engine):
                            step=state.step + 1), total, loss1, loss0)
 
     @partial(jax.jit, static_argnames=("self", "length"))
-    def _eval_step(self, params, x, mask, labels, length: int):
+    def _eval_step_perm(self, params, x, mask, labels, eval_perm,
+                        length: int):
         logits = self.model.apply({"params": params}, x, mask=mask,
                                   length=length, deterministic=True,
-                                  train=False)
+                                  train=False, eval_perm=eval_perm)
         losses = -jnp.take_along_axis(
             jax.nn.log_softmax(logits, axis=-1), labels[:, None], 1)[:, 0]
         probs = jax.nn.softmax(logits, axis=-1)[:, 1]
         return probs, losses
+
+    def evaluate(self, params, dataset, order=None):
+        """Eval with the reference's instance shuffle before chunking
+        (DTFD/main.py:342 random.shuffle(feat_index)); here a seeded
+        permutation of the true instances, pad indices kept at the tail
+        (docs/PARITY.md 'DTFD eval instance shuffle')."""
+        order = list(order if order is not None else range(len(dataset)))
+        rng = np.random.default_rng(self.cfg.seed + 0xD7FD)
+        probs_all, labels_all, losses_all = [], [], []
+        for idx in order:
+            x, mask, labels, spec = self._make_batch(dataset, [idx], False)
+            true_len = int(np.asarray(mask).sum())
+            perm = np.concatenate([rng.permutation(true_len),
+                                   np.arange(true_len, spec.repr_length)])
+            probs, losses = self._eval_step_perm(
+                params, x, mask, labels, jnp.asarray(perm, jnp.int32),
+                spec.repr_length)
+            probs_all.append(np.asarray(probs))
+            labels_all.append(np.asarray(labels))
+            losses_all.append(np.asarray(losses))
+        return (np.concatenate(probs_all), np.concatenate(labels_all),
+                float(np.mean(np.concatenate(losses_all))))

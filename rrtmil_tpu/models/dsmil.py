@@ -94,3 +94,30 @@ class DSMIL(nn.Module):
             mask_row[:, None], classes, jnp.finfo(classes.dtype).min)
         max_inst = jnp.max(cm, axis=0)[None]          # (1, C)
         return bag_logits, max_inst, ps
+
+
+def load_warm_start(params, path: str):
+    """Non-strict warm-start from the reference's shipped dsmil_init.pth
+    (main.py:215-218, modules/init_ckp/).  The checkpoint carries only
+    b_classifier.q.{weight,bias} plus b_classifier.v.1.* keys that don't
+    exist in the passing_v=False model (dropped by strict=False) -- so this
+    overrides exactly the q projection.  Accepts the torch .pth directly
+    (torch is an optional dep) or an .npz produced by
+    tools/convert_dsmil_init.py for torch-free environments."""
+    import numpy as np
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+        sd = {k: v.numpy() for k, v in torch.load(
+            path, map_location="cpu", weights_only=True).items()}
+    out = dict(params)
+    bc = dict(out["b_classifier"])
+    q = dict(bc["q"])
+    if "b_classifier.q.weight" in sd:
+        q["kernel"] = jnp.asarray(np.asarray(sd["b_classifier.q.weight"]).T)
+    if "b_classifier.q.bias" in sd:
+        q["bias"] = jnp.asarray(sd["b_classifier.q.bias"])
+    bc["q"] = q
+    out["b_classifier"] = bc
+    return out

@@ -86,6 +86,7 @@ class AttentionGated(nn.Module):
     act: str = "relu"
     bias: bool = False
     dropout: bool = False
+    axis_name: Optional[str] = None   # set under sequence sharding
 
     @nn.compact
     def __call__(self, x, mask=None, no_norm: bool = False,
@@ -103,6 +104,9 @@ class AttentionGated(nn.Module):
                      bias_init=zeros, name="attention_c")(a * b)
         g = jnp.swapaxes(g, -1, -2)
         g_ori = g
+        if self.axis_name is not None:
+            out = sharded_attention_pool(g, x, mask, self.axis_name)
+            return out, g_ori
         g = masked_softmax(g, None if mask is None else mask[:, None, :])
         out = g @ x
         return out, (g_ori if no_norm else g)
@@ -123,7 +127,8 @@ class DAttention(nn.Module):
                  no_norm: bool = False, deterministic: bool = True):
         if self.gated:
             mod = AttentionGated(self.input_dim, self.act, self.bias,
-                                 self.dropout, name="attention")
+                                 self.dropout, axis_name=self.axis_name,
+                                 name="attention")
         else:
             mod = Attention(self.input_dim, self.act, self.bias,
                             self.dropout, axis_name=self.axis_name,
@@ -137,21 +142,41 @@ class DAttention(nn.Module):
 
 class MeanPool(nn.Module):
     """Masked mean over instances (AdaptiveAvgPool1d(1) equivalent,
-    reference modules/rrt.py:221)."""
+    reference modules/rrt.py:221).  Under sequence sharding (`axis_name`)
+    numerator and token count are psum-reduced, so the result equals the
+    single-device masked mean."""
+
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask=None, **_):
         if mask is None:
-            return jnp.mean(x, axis=1)
+            mask = jnp.ones(x.shape[:2], bool)
         m = mask[..., None].astype(x.dtype)
-        return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        num = jnp.sum(x * m, axis=1)
+        den = jnp.sum(m, axis=1)
+        if self.axis_name is not None:
+            num = jax.lax.psum(num, self.axis_name)
+            den = jax.lax.psum(den, self.axis_name)
+        return num / jnp.maximum(den, 1.0)
 
 
 class MaxPool(nn.Module):
-    """Masked max over instances."""
+    """Masked max over instances.  Under sequence sharding the local maxima
+    are all-gathered and reduced (all_gather of (B, C) per shard is tiny and
+    keeps the max differentiable, unlike lax.pmax which has no VJP)."""
+
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask=None, **_):
         if mask is not None:
             x = jnp.where(mask[..., None], x, jnp.finfo(x.dtype).min)
-        return jnp.max(x, axis=1)
+        local = jnp.max(x, axis=1)
+        if self.axis_name is not None:
+            gathered = jax.lax.all_gather(local, self.axis_name, axis=0)
+            # all_gather output is still marked device-varying under
+            # shard_map's vma tracking; the values are identical per shard,
+            # so pmean re-replicates without changing value or gradient.
+            return jax.lax.pmean(jnp.max(gathered, axis=0), self.axis_name)
+        return local

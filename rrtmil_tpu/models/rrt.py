@@ -514,7 +514,9 @@ class RRTMIL(nn.Module):
             else:
                 feat = pool(x, mask=mask, deterministic=deterministic)
         else:
-            feat = MeanPool(name="pool_fn")(x, mask=mask)
+            feat = MeanPool(axis_name=cfg.encoder.sp_axis
+                            if cfg.encoder.sp_shards > 1 else None,
+                            name="pool_fn")(x, mask=mask)
             attn = None
 
         logits = nn.Dense(cfg.n_classes, kernel_init=xavier_normal,

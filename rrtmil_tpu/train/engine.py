@@ -15,9 +15,15 @@ TPU-native design:
   (The reference calls clip before backward, main.py:460-463, which clips the
   zeroed gradients of the previous step -- a no-op at accumulation_steps=1.
   We implement the evidently intended behavior.)
-* gradient accumulation averages all microbatch losses.  (The reference
-  discards non-step-iteration losses entirely, main.py:459-469; the faithful
-  quirk is not reproduced -- flagged in SURVEY.md §7 as fix-with-flag.)
+* gradient accumulation (accumulation_steps > 1) averages the gradients of
+  all microbatches in the window and applies one optimizer update per
+  window, each microbatch loss scaled by 1/accumulation_steps as the
+  reference does (main.py:459).  The reference additionally has a bug --
+  backward() runs only on the step iteration, so the other microbatches'
+  gradients are silently DISCARDED (main.py:465-469) and it effectively
+  trains on every acc-th bag; we implement the evidently intended
+  accumulate-all semantics (identical at accumulation_steps=1), ledgered in
+  docs/PARITY.md.
 """
 from __future__ import annotations
 
@@ -66,6 +72,14 @@ class EngineConfig:
     exact: bool = False          # pad to true length (no bucketing); needed
                                  # by TransMIL's wrap-padding; forces bsz=1
     aux_mode: Optional[str] = None  # None | 'loss' (CLAM) | 'logits' (DSMIL)
+    ds_average: bool = False  # DSMIL eval: probs = 0.5*softmax(bag logits) +
+    # 0.5*softmax(max-instance logits).  The reference's --ds_average branch
+    # (main.py:526,531-541) unpacks the tuple first and then row-indexes a
+    # (1, C) tensor, so it crashes as written; we implement the evidently
+    # intended averaging (docs/PARITY.md).  Requires aux_mode='logits'.
+    fix_loader_random: bool = False  # pin the train-order shuffle stream to
+    # the reference's fixed DataLoader generator seed 7784414403328510413
+    # (main.py:125-130); forced on for camelyon16 (main.py:731-733).
     transfer_dtype: str = "float32"  # host->device dtype for bags; set
     # 'bfloat16' with compute_dtype='bfloat16' to halve the per-step
     # transfer (a ~40 MB/step saving at N~9k, often the real train
@@ -92,6 +106,23 @@ class Engine:
         self._loss = cross_entropy if cfg.loss == "ce" else bce_with_logits
         self.global_iter = 0
         self._rng = np.random.default_rng(cfg.seed)
+        # Train-order shuffle stream; under fix_loader_random it is pinned to
+        # the reference's fixed DataLoader generator seed (main.py:125-130)
+        # and decoupled from the augmentation stream, else it shares _rng.
+        self._order_rng = (np.random.default_rng(7784414403328510413)
+                           if cfg.fix_loader_random else self._rng)
+        if cfg.ds_average and cfg.aux_mode != "logits":
+            raise ValueError("ds_average requires a model that returns "
+                             "max-instance logits (aux_mode='logits')")
+
+    def reseed(self, seed: int) -> None:
+        """Re-pin the host RNG streams (fix_train_random: the reference
+        re-runs seed_torch(args.seed) right before the epoch loop,
+        main.py:254-255, so every fold trains with identical dropout /
+        augmentation / shuffle streams)."""
+        self._rng = np.random.default_rng(seed)
+        if not self.cfg.fix_loader_random:
+            self._order_rng = self._rng
 
     # -- model plumbing ----------------------------------------------------
 
@@ -160,7 +191,57 @@ class Engine:
         return new_state, total, logit_loss, aux
 
     @partial(jax.jit, static_argnames=("self", "length"))
+    def _grad_step(self, params, x, mask, labels, rng, length: int):
+        """Loss + gradients for one microbatch (accumulation_steps > 1).
+        The per-microbatch loss is pre-scaled by 1/accumulation_steps as in
+        the reference (main.py:459); gradients are summed by the caller and
+        one update applied per window."""
+        cfg = self.cfg
+
+        def loss_fn(params):
+            logits, aux = self.apply_fn(params, x, mask, length, True, rng,
+                                        labels)
+            logit_loss = self._loss(logits, labels)
+            total = (cfg.cls_alpha * logit_loss + cfg.aux_alpha * aux) \
+                / cfg.accumulation_steps
+            return total, (logit_loss, aux)
+
+        (total, (logit_loss, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return total, logit_loss, aux, grads
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _apply_grads(self, state: TrainState, grads, lr):
+        cfg = self.cfg
+        if cfg.clip_grad > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1)
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _add_grads(self, acc, grads):
+        return jax.tree.map(jnp.add, acc, grads)
+
+    @partial(jax.jit, static_argnames=("self", "length"))
     def _eval_step(self, params, x, mask, labels, length: int):
+        if self.cfg.ds_average:
+            # DSMIL --ds_average: loss on the bag logits, probability is the
+            # mean of the bag and max-instance softmaxes (the reference's
+            # intended main.py:531-541 semantics; see EngineConfig).
+            out = self.model.apply({"params": params}, x, mask=mask,
+                                   length=length, deterministic=True)
+            logits, aux_logits = out[0], out[1]
+            losses = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), labels[:, None], 1)[:, 0]
+            probs = 0.5 * jax.nn.softmax(logits, axis=-1)[:, 1] + \
+                0.5 * jax.nn.softmax(aux_logits, axis=-1)[:, 1]
+            return probs, losses
         logits, _ = self.apply_fn(params, x, mask, length, False,
                                   jax.random.PRNGKey(0), None)
         if self.eval_logits_fn is not None:
@@ -268,16 +349,33 @@ class Engine:
                     rng_key: jax.Array, order: Optional[Sequence[int]] = None
                     ) -> Tuple[TrainState, float]:
         if order is None:
-            order = self._rng.permutation(len(dataset))
+            order = self._order_rng.permutation(len(dataset))
         batches = self._batched_order(dataset, order)
         total_loss, count = 0.0, 0
+        acc = self.cfg.accumulation_steps
+        acc_grads, acc_n = None, 0
         for bi, batch_idx in enumerate(batches):
             x, mask, labels, spec = self._make_batch(dataset, batch_idx, True)
             lr = self.current_lr(epoch, len(batches))
             step_rng = jax.random.fold_in(rng_key, self.global_iter)
-            state, loss, logit_loss, aux = self._train_step(
-                state, x, mask, labels, jnp.float32(lr), step_rng,
-                spec.repr_length)
+            if acc <= 1:
+                state, loss, logit_loss, aux = self._train_step(
+                    state, x, mask, labels, jnp.float32(lr), step_rng,
+                    spec.repr_length)
+            else:
+                loss, logit_loss, aux, grads = self._grad_step(
+                    state.params, x, mask, labels, step_rng,
+                    spec.repr_length)
+                acc_grads = grads if acc_grads is None else \
+                    self._add_grads(acc_grads, grads)
+                acc_n += 1
+                if acc_n == acc or bi == len(batches) - 1:
+                    # tail window: grads were pre-scaled by 1/acc, so a
+                    # short final window underweights its bags exactly as
+                    # loss/acc semantics dictate (one window = one update).
+                    state = self._apply_grads(state, acc_grads,
+                                              jnp.float32(lr))
+                    acc_grads, acc_n = None, 0
             total_loss += float(loss)
             count += 1
             self.global_iter += 1

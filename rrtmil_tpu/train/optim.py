@@ -66,18 +66,19 @@ def step_lr(base_lr: float, t: int, step_size: float, gamma: float = 0.2) -> flo
     return base_lr * gamma ** int(t // step_size)
 
 
-def lr_at(schedule: str, base_lr: float, t: int, t_max: int) -> float:
+def lr_at(schedule: str, base_lr: float, t: int, t_max: int,
+          step_gamma: float = 0.2) -> float:
     """Closed-form LR at schedule index t (epoch or iteration).
 
     Covers the classification schedules (main.py:235-243) and the survival
     scheduler zoo (Survival/utils/scheduler.py:4-17); 'plateau' requires
-    metric feedback and is handled by PlateauLR below."""
+    metric feedback and is handled by PlateauLR below.  `step_gamma`:
+    classification StepLR uses 0.2 (main.py:241), survival 0.1
+    (scheduler.py:8)."""
     if schedule == "cosine":
         return cosine_lr(base_lr, min(t, t_max), t_max)
     if schedule == "step":
-        # classification uses gamma 0.2 (main.py:241); survival step uses
-        # gamma 0.1 (scheduler.py:8) -- gamma configurable via step_lr.
-        return step_lr(base_lr, t, t_max / 2)
+        return step_lr(base_lr, t, t_max / 2, step_gamma)
     if schedule == "exp":
         return base_lr * (0.1 ** t)           # ExponentialLR(0.1)
     if schedule in ("const", "None", "none"):

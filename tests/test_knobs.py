@@ -1,0 +1,277 @@
+"""Every CLI knob must change behavior (VERDICT r1: no silent no-ops).
+
+Covers the knobs that were dead in round 1: gradient accumulation,
+--ds_average, --same_psize, --fix_loader_random / --fix_train_random,
+survival --scheduler plateau, survival --resume / --evaluate, and the DSMIL
+warm-start (reference main.py:215-218, 459-469, 531-541, 125-130, 254-255;
+Survival/utils/scheduler.py:10; Survival/models/RRTMIL/engine.py:27-39).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rrtmil_tpu.config import RRTEncoderConfig
+from rrtmil_tpu.data.bucketing import bucket_for, pad_bag
+from rrtmil_tpu.data.datasets import ArrayDataset
+from rrtmil_tpu.models import zoo
+from rrtmil_tpu.train.engine import Engine, EngineConfig
+from rrtmil_tpu.train.losses import cross_entropy
+from rrtmil_tpu.train.surv_engine import SurvivalEngine, SurvivalEngineConfig
+
+
+def _equal_bags(n=4, length=64, dim=32, seed=0):
+    rng = np.random.default_rng(seed)
+    bags = [rng.normal(size=(length, dim)).astype(np.float32)
+            for _ in range(n)]
+    return ArrayDataset(bags, [i % 2 for i in range(n)])
+
+
+def _mk_engine(acc=1, **cfg_kw):
+    model = zoo.build_model("meanmil", input_dim=32, n_classes=2, dropout=0.0)
+    cfg = EngineConfig(num_epochs=1, accumulation_steps=acc,
+                       lr_schedule="const", **cfg_kw)
+    engine = Engine(model, cfg, encoder_cfg=RRTEncoderConfig())
+    state = engine.init(jax.random.PRNGKey(0), 64, 32)
+    return engine, state
+
+
+def test_accumulation_averages_microbatch_grads():
+    """acc=2 must equal summing the per-bag grads of loss/acc and applying
+    ONE optimizer update per window (reference-intended semantics)."""
+    ds = _equal_bags()
+    engine, state = _mk_engine(acc=2)
+    order = list(range(4))
+    got, _ = engine.train_epoch(state, ds, 0, jax.random.PRNGKey(1), order)
+
+    # manual: same model/optimizer, two windows of two bags
+    engine2, state2 = _mk_engine(acc=1)
+    spec = bucket_for(64, engine2.encoder_cfg)
+    lr = engine2.current_lr(0, 4)
+
+    def one_loss(params, bag, label):
+        x, mask = pad_bag(bag, spec.data_length)
+        logits, _ = engine2.apply_fn(
+            params, jnp.asarray(x[None]), jnp.asarray(mask[None]),
+            spec.repr_length, True, jax.random.PRNGKey(0),
+            jnp.asarray([label], jnp.int32))
+        return cross_entropy(logits, jnp.asarray([label], jnp.int32)) / 2.0
+
+    for w in range(2):
+        grads_sum = None
+        for i in (2 * w, 2 * w + 1):
+            g = jax.grad(one_loss)(state2.params, ds._bags[i],
+                                   ds.slide_label[i])
+            grads_sum = g if grads_sum is None else \
+                jax.tree.map(jnp.add, grads_sum, g)
+        updates, opt_state = engine2.tx.update(grads_sum, state2.opt_state,
+                                               state2.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        state2 = state2.replace(params=optax.apply_updates(state2.params,
+                                                           updates),
+                                opt_state=opt_state)
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+                 got.params, state2.params)
+
+
+def test_accumulation_changes_trajectory():
+    ds = _equal_bags()
+    e1, s1 = _mk_engine(acc=1)
+    e2, s2 = _mk_engine(acc=2)
+    order = list(range(4))
+    p1, _ = e1.train_epoch(s1, ds, 0, jax.random.PRNGKey(1), order)
+    p2, _ = e2.train_epoch(s2, ds, 0, jax.random.PRNGKey(1), order)
+    leaves1 = jax.tree.leaves(p1.params)
+    leaves2 = jax.tree.leaves(p2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+
+
+def test_ds_average_eval_combines_streams():
+    rng = np.random.default_rng(3)
+    bags = [rng.normal(size=(50, 32)).astype(np.float32) for _ in range(3)]
+    ds = ArrayDataset(bags, [0, 1, 0])
+    model = zoo.build_model("dsmil", input_dim=32, n_classes=2, dropout=0.0)
+
+    cfg = EngineConfig(aux_mode="logits", ds_average=True)
+    engine = Engine(model, cfg, encoder_cfg=RRTEncoderConfig())
+    state = engine.init(jax.random.PRNGKey(0), 64, 32)
+    probs, labels, _ = engine.evaluate(state.params, ds)
+
+    cfg0 = EngineConfig(aux_mode="logits", ds_average=False)
+    engine0 = Engine(model, cfg0, encoder_cfg=RRTEncoderConfig())
+    probs0, _, _ = engine0.evaluate(state.params, ds)
+    assert not np.allclose(probs, probs0)
+
+    # manual combination on bag 0
+    spec = bucket_for(50, engine.encoder_cfg)
+    x, mask = pad_bag(bags[0], spec.data_length)
+    out = model.apply({"params": state.params}, jnp.asarray(x[None]),
+                      mask=jnp.asarray(mask[None]), length=spec.repr_length,
+                      deterministic=True)
+    want = 0.5 * jax.nn.softmax(out[0])[:, 1] + \
+        0.5 * jax.nn.softmax(out[1])[:, 1]
+    np.testing.assert_allclose(probs[0], np.asarray(want)[0], atol=1e-6)
+
+
+def test_ds_average_requires_logits_aux():
+    model = zoo.build_model("meanmil", input_dim=32, n_classes=2)
+    with pytest.raises(ValueError):
+        Engine(model, EngineConfig(ds_average=True),
+               encoder_cfg=RRTEncoderConfig())
+
+
+def test_same_psize_resamples_bags():
+    rng = np.random.default_rng(0)
+    bags = [rng.normal(size=(n, 8)).astype(np.float32) for n in (30, 90, 10)]
+    train = ArrayDataset(bags, [0, 1, 0], keep_same_psize=20, is_train=True)
+    ev = ArrayDataset(bags, [0, 1, 0], keep_same_psize=20, is_train=False)
+    assert all(train.bag(i).shape == (20, 8) for i in range(3))
+    assert train.lengths() == [20, 20, 20]
+    # train: resample varies between accesses
+    a, b = train.bag(1), train.bag(1)
+    assert not np.array_equal(a, b)
+    # eval: deterministic per slide
+    np.testing.assert_array_equal(ev.bag(1), ev.bag(1))
+    # short bag (10 < 20) resamples with replacement
+    assert ev.bag(2).shape == (20, 8)
+    # off by default: untouched
+    off = ArrayDataset(bags, [0, 1, 0])
+    assert off.bag(0).shape == (30, 8)
+
+
+def test_fix_loader_random_pins_order_stream():
+    ds = _equal_bags()
+    e1, _ = _mk_engine(fix_loader_random=True)
+    e2, _ = _mk_engine(fix_loader_random=True)
+    # identical pinned streams regardless of seed
+    e2.cfg.seed = 999
+    np.testing.assert_array_equal(e1._order_rng.permutation(100),
+                                  e2._order_rng.permutation(100))
+    e3, _ = _mk_engine(fix_loader_random=False)
+    assert not np.array_equal(
+        np.random.default_rng(7784414403328510413).permutation(100),
+        e3._order_rng.permutation(100))
+
+
+def test_reseed_restores_streams():
+    engine, _ = _mk_engine()
+    first = engine._rng.normal(size=5)
+    engine._rng.normal(size=100)  # advance
+    engine.reseed(engine.cfg.seed)
+    np.testing.assert_array_equal(engine._rng.normal(size=5), first)
+    assert engine._order_rng is engine._rng
+
+
+def test_plateau_scheduler_runs_and_decays():
+    from rrtmil_tpu.data.survival import ArraySurvivalDataset
+    rng = np.random.default_rng(0)
+    bags = [rng.normal(size=(40, 16)).astype(np.float32) for _ in range(8)]
+    ds = ArraySurvivalDataset(bags, events=np.arange(8) * 100.0 + 50,
+                              status=[1] * 8)
+    from rrtmil_tpu.models.survival import SurvivalHead
+    model = SurvivalHead(zoo.build_model("meanmil", input_dim=16,
+                                         n_classes=4))
+    cfg = SurvivalEngineConfig(num_epochs=2, lr_schedule="plateau", lr=1e-3)
+    engine = SurvivalEngine(model, cfg, RRTEncoderConfig())
+    state = engine.init(jax.random.PRNGKey(0), 40, 16)
+    assert engine.epoch_lr(0) == 1e-3
+    score, epoch, _ = engine.learning(state, ds, list(range(6)), [6, 7])
+    assert np.isfinite(score)
+    # non-improving metrics decay the lr after patience epochs
+    for _ in range(20):
+        engine._plateau.step(1e9)
+    assert engine.epoch_lr(0) < 1e-3
+
+
+def test_survival_step_gamma_is_point_one():
+    cfg = SurvivalEngineConfig(num_epochs=30, lr_schedule="step", lr=1e-3)
+    from rrtmil_tpu.models.survival import SurvivalHead
+    model = SurvivalHead(zoo.build_model("meanmil", input_dim=16,
+                                         n_classes=4))
+    engine = SurvivalEngine(model, cfg, RRTEncoderConfig())
+    assert engine.epoch_lr(0) == pytest.approx(1e-3)
+    assert engine.epoch_lr(15) == pytest.approx(1e-4)
+
+
+def _write_survival_csv(tmp_path, n=10, dim=24):
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "feats"
+    os.makedirs(feat_dir, exist_ok=True)
+    rows = ["Study,ID,Event,Status,WSI"]
+    for i in range(n):
+        bag = rng.normal(size=(int(rng.integers(20, 60)), dim)) \
+            .astype(np.float32)
+        p = feat_dir / f"case_{i}.npy"
+        np.save(p, bag)
+        rows.append(f"syn,case_{i},{100.0 * (i + 1)},{i % 2},{p}")
+    csv_path = tmp_path / "syn.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+    return str(csv_path)
+
+
+class _SurvArgs:
+    def __init__(self, **kw):
+        self.folder = "plip"
+        self.dataset_root = None
+        self.model = "MeanMIL"
+        self.loss = "nll_surv"
+        self.optimizer = "Adam"
+        self.scheduler = "cosine"
+        self.lr = 2e-4
+        self.weight_decay = 1e-5
+        self.num_epoch = 1
+        self.seed = 1
+        self.epeg_k = 9
+        self.crmsa_k = 1
+        self.no_log = True
+        self.resume = ""
+        self.evaluate = False
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def test_survival_resume_and_evaluate(tmp_path):
+    from rrtmil_tpu.harness.survival import run_survival_cv
+    csv_path = _write_survival_csv(tmp_path)
+    args = _SurvArgs(excel_file=csv_path, input_dim=24,
+                     results_dir=str(tmp_path / "out"))
+    meter = run_survival_cv(args)
+    assert len(meter.cindex) >= 6  # 5 folds + header
+
+    # --evaluate with --resume pointing at the training results dir
+    args2 = _SurvArgs(excel_file=csv_path, input_dim=24,
+                      results_dir=str(tmp_path / "out2"),
+                      resume=str(tmp_path / "out"), evaluate=True)
+    meter2 = run_survival_cv(args2)
+    assert len(meter2.cindex) >= 6
+    # evaluate mode trains nothing: no fold checkpoints written
+    assert not any(f.startswith("fold_")
+                   for f in os.listdir(tmp_path / "out2"))
+
+
+def test_dsmil_warm_start_from_reference_ckpt():
+    from rrtmil_tpu.models.dsmil import load_warm_start
+    torch = pytest.importorskip("torch")
+    path = "/root/reference/modules/init_ckp/dsmil_init.pth"
+    if not os.path.exists(path):
+        pytest.skip("reference checkpoint unavailable")
+    model = zoo.build_model("dsmil", input_dim=1024, n_classes=2, dropout=0.0)
+    x = jnp.zeros((1, 16, 1024))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x,
+                        deterministic=True)["params"]
+    loaded = load_warm_start(params, path)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    np.testing.assert_allclose(
+        np.asarray(loaded["b_classifier"]["q"]["kernel"]),
+        sd["b_classifier.q.weight"].numpy().T)
+    np.testing.assert_allclose(np.asarray(loaded["b_classifier"]["q"]["bias"]),
+                               sd["b_classifier.q.bias"].numpy())
+    # everything else untouched (strict=False semantics)
+    np.testing.assert_allclose(
+        np.asarray(loaded["i_classifier"]["kernel"]),
+        np.asarray(params["i_classifier"]["kernel"]))
