@@ -62,6 +62,18 @@ class CVMeter:
             writer.writerow(self.cindex)
 
 
+def survival_rrtmil_config(n_features: int, n_classes: int = 4,
+                           epeg_k: int = 15, crmsa_k: int = 3
+                           ) -> RRTMILConfig:
+    """The survival RRTMIL config (reference Survival/main.py:109-130:
+    region_num=16, the long-bag memory knob per README.md:61)."""
+    return RRTMILConfig(
+        input_dim=n_features, n_classes=n_classes,
+        encoder=RRTEncoderConfig(region_num=16, epeg_k=epeg_k,
+                                 crmsa_k=crmsa_k),
+        pool=PoolConfig())
+
+
 def build_survival_model(name: str, n_features: int, n_classes: int = 4,
                          epeg_k: int = 15, crmsa_k: int = 3,
                          confounders=None):
@@ -69,8 +81,7 @@ def build_survival_model(name: str, n_features: int, n_classes: int = 4,
     name_l = name.lower().replace("-mil", "").replace("_mil", "")
     enc16 = RRTEncoderConfig(region_num=16, epeg_k=epeg_k, crmsa_k=crmsa_k)
     if name_l == "rrtmil":
-        cfg = RRTMILConfig(input_dim=n_features, n_classes=n_classes,
-                           encoder=enc16, pool=PoolConfig())
+        cfg = survival_rrtmil_config(n_features, n_classes, epeg_k, crmsa_k)
         return SurvivalHead(zoo.build_model("rrtmil", rrtmil_cfg=cfg)), enc16
     if name_l == "dtfd":
         return DTFD(input_dim=n_features, n_classes=n_classes), enc16
@@ -117,12 +128,38 @@ class DTFDSurvivalEngine(SurvivalEngine):
                            step=state.step + 1), loss, risk)
 
     @partial(jax.jit, static_argnames=("self", "length"))
-    def _eval_step(self, params, x, mask, label, censorship, length: int):
+    def _eval_step_perm(self, params, x, mask, label, censorship, eval_perm,
+                        length: int):
         hazards, survival = self.model.apply(
             {"params": params}, x, mask=mask, length=length,
-            deterministic=True, train=False)
+            deterministic=True, train=False, eval_perm=eval_perm)
         loss = self._loss(hazards, survival, label, censorship)
         return loss, -jnp.sum(survival, axis=-1)
+
+    def validate(self, params, dataset, indices):
+        """Eval with the reference's instance shuffle before chunking
+        (Survival/models/DTFD/network.py:231-233); seeded permutation of the
+        true instances, pads at the tail (docs/PARITY.md)."""
+        rng = np.random.default_rng(self.cfg.seed + 0xD7FD)
+        total, risks, censors, times = 0.0, [], [], []
+        for idx in indices:
+            _, bag, event, censorship, label = dataset[idx]
+            bag = np.asarray(bag)
+            x, mask, spec = self._prep(bag)
+            true_len = min(bag.shape[0], spec.repr_length)
+            perm = np.concatenate([rng.permutation(true_len),
+                                   np.arange(true_len, spec.repr_length)])
+            loss, risk = self._eval_step_perm(
+                params, x, mask, jnp.asarray([label], jnp.int32),
+                jnp.asarray([censorship], jnp.float32),
+                jnp.asarray(perm, jnp.int32), spec.repr_length)
+            total += float(loss)
+            risks.append(float(risk[0]))
+            censors.append(censorship)
+            times.append(event)
+        c_index = concordance_index_censored(
+            1 - np.asarray(censors), np.asarray(times), np.asarray(risks))
+        return total / max(len(indices), 1), c_index
 
     def init(self, rng, example_length, input_dim):
         spec = bucket_for(example_length, self.encoder_cfg)
@@ -203,8 +240,7 @@ class MHIMSurvivalEngine(SurvivalEngine):
     def train_epoch(self, state, dataset, indices, epoch, rng_key):
         order = list(indices)
         self._rng.shuffle(order)
-        lr = lr_at(self.cfg.lr_schedule, self.cfg.lr, epoch,
-                   self.cfg.num_epochs)
+        lr = self.epoch_lr(epoch)
         total, risks, censors, times = 0.0, [], [], []
         for j, idx in enumerate(order):
             _, bag, event, censorship, label = dataset[idx]
@@ -237,8 +273,24 @@ class MHIMSurvivalEngine(SurvivalEngine):
 
 
 def make_survival_engine(name: str, model, cfg: SurvivalEngineConfig,
-                         encoder_cfg=None, niter_per_ep: int = 100):
+                         encoder_cfg=None, niter_per_ep: int = 100,
+                         sp_shards: int = 1):
     name_l = name.lower().replace("-mil", "").replace("_mil", "")
+    if sp_shards > 1:
+        # sequence-sharded long-bag path (reference Survival/main.py:125 is
+        # the region_num=16 single-GPU analog); RRTMIL only -- the other
+        # zoo models have no region structure to shard exactly.
+        if name_l != "rrtmil":
+            raise ValueError(
+                f"--sp_shards requires model=RRTMIL, got {name!r}")
+        if not isinstance(model, RRTMILConfig):
+            raise TypeError("sp_shards path takes the RRTMILConfig "
+                            "(survival_rrtmil_config), not a model instance")
+        from ..parallel.mesh import make_mesh
+        from ..train.surv_engine import SeqShardSurvivalEngine
+        mesh = make_mesh(dp=1, sp=sp_shards,
+                         devices=jax.devices()[:sp_shards])
+        return SeqShardSurvivalEngine(model, cfg, mesh)
     if name_l == "dtfd":
         return DTFDSurvivalEngine(model, cfg, encoder_cfg)
     if name_l == "mhim":
@@ -249,7 +301,8 @@ def make_survival_engine(name: str, model, cfg: SurvivalEngineConfig,
 
 def run_survival_cv(args) -> CVMeter:
     """5-fold survival CV (reference Survival/main.py:16-166)."""
-    n_features = 512 if args.folder == "plip" else 1024
+    n_features = getattr(args, "input_dim", None) or \
+        (512 if args.folder == "plip" else 1024)
     dataset = SurvivalDataset(args.excel_file, folder=args.folder,
                               root=getattr(args, "dataset_root", None))
     meter = CVMeter(fold=5)
@@ -257,20 +310,54 @@ def run_survival_cv(args) -> CVMeter:
     os.makedirs(results_dir, exist_ok=True)
     logger = Logger(quiet=getattr(args, "no_log", False))
 
+    sp_shards = int(getattr(args, "sp_shards", 1) or 1)
     for fold in range(5):
         train_idx, val_idx = dataset.get_split(fold)
-        model, enc = build_survival_model(
-            args.model, n_features, n_classes=4,
-            epeg_k=args.epeg_k, crmsa_k=args.crmsa_k)
+        if sp_shards > 1:
+            model = survival_rrtmil_config(
+                n_features, n_classes=4, epeg_k=args.epeg_k,
+                crmsa_k=args.crmsa_k)
+            enc = model.encoder
+        else:
+            model, enc = build_survival_model(
+                args.model, n_features, n_classes=4,
+                epeg_k=args.epeg_k, crmsa_k=args.crmsa_k)
         cfg = SurvivalEngineConfig(
             loss=args.loss, opt=args.optimizer.lower(), lr=args.lr,
             weight_decay=args.weight_decay, lr_schedule=args.scheduler,
             num_epochs=args.num_epoch, seed=args.seed)
         engine = make_survival_engine(args.model, model, cfg, enc,
-                                      niter_per_ep=len(train_idx))
+                                      niter_per_ep=len(train_idx),
+                                      sp_shards=sp_shards)
         example_len = np.asarray(dataset[train_idx[0]][1]).shape[0]
         state = engine.init(jax.random.PRNGKey(args.seed), example_len,
                             n_features)
+
+        # --resume: load best-checkpoint weights (reference Survival/models/
+        # RRTMIL/engine.py:27-35; per-fold file or a directory of fold_{k}/)
+        resume = getattr(args, "resume", "") or ""
+        if resume:
+            path = resume
+            if os.path.isdir(resume):
+                cand = sorted(os.listdir(os.path.join(resume,
+                                                      f"fold_{fold}")))
+                cand = [c for c in cand if c.endswith(".msgpack")]
+                path = os.path.join(resume, f"fold_{fold}", cand[-1]) \
+                    if cand else ""
+            if path and os.path.isfile(path):
+                logger.print(f"=> loading checkpoint '{path}'")
+                from ..train.checkpoint import load_params
+                state = state.replace(params=load_params(path, state.params))
+            else:
+                logger.print(f"=> no checkpoint found at '{resume}'")
+
+        # --evaluate: validation only, no training (engine.py:37-39)
+        if getattr(args, "evaluate", False):
+            val_loss, val_ci = engine.validate(state.params, dataset, val_idx)
+            logger.print(f"fold {fold} evaluate: loss {val_loss:.4f} "
+                         f"c-index {val_ci:.4f}")
+            meter.update(val_ci, 0)
+            continue
 
         fold_dir = os.path.join(results_dir, f"fold_{fold}")
         os.makedirs(fold_dir, exist_ok=True)

@@ -66,6 +66,32 @@ def check_shardable(length: int, cfg: RRTEncoderConfig, sp: int) -> int:
     return grid * grid
 
 
+def sharded_bucket_for(length: int, cfg: RRTEncoderConfig, sp: int):
+    """Bucket a bag length for the sequence-sharded path: round the grid
+    side up (at the layers' gcd granularity) until `check_shardable`
+    accepts it, i.e. every layer's regions split into whole region-rows
+    across `sp` shards.  Returns (repr_length, data_length).
+
+    Compared to `data.bucketing.bucket_for` this may pad a little further
+    (padding attends as zeros exactly like the reference's own pad,
+    rmsa.py:199-200), trading a few percent of FLOPs for an exact sharding."""
+    import math
+    from ..data.bucketing import encoder_regions, _rounding_modulus
+    regions = encoder_regions(cfg)
+    mods = [_rounding_modulus(r) for r in regions]
+    g = math.gcd(*mods) if len(mods) > 1 else mods[0]
+    scfg = dataclasses.replace(cfg, sp_shards=sp, sp_axis=cfg.sp_axis or "sp")
+    s = int(math.ceil(math.sqrt(length)))
+    s_b = s + (-s) % g
+    for _ in range(64):
+        repr_length = s_b * s_b
+        try:
+            return repr_length, check_shardable(repr_length, scfg, sp)
+        except ValueError:
+            s_b += g
+    raise ValueError(f"no shardable bucket for length {length} at sp={sp}")
+
+
 def make_seqshard_forward(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
                           sp_axis: str = "sp"):
     """Build (model, jitted forward) running the full RRTMIL with the token

@@ -23,7 +23,7 @@ from ..data.bucketing import bucket_for, pad_bag
 from .engine import TrainState
 from .losses import ce_surv_loss, nll_surv_loss
 from .metrics import concordance_index_censored
-from .optim import lr_at, make_optimizer
+from .optim import PlateauLR, lr_at, make_optimizer
 
 
 @dataclasses.dataclass
@@ -49,6 +49,21 @@ class SurvivalEngine:
         loss_fn = nll_surv_loss if cfg.loss == "nll_surv" else ce_surv_loss
         self._loss = partial(loss_fn, alpha=cfg.loss_alpha)
         self._rng = np.random.default_rng(cfg.seed)
+        # ReduceLROnPlateau on val loss (Survival/utils/scheduler.py:10).
+        # NB the reference crashes here as written -- Engine.learning calls
+        # scheduler.step() with no metric (engine.py:57), a TypeError for
+        # torch's ReduceLROnPlateau; we implement the intended behavior
+        # (docs/PARITY.md).
+        self._plateau = (PlateauLR(cfg.lr)
+                         if cfg.lr_schedule == "plateau" else None)
+
+    def epoch_lr(self, epoch: int) -> float:
+        """LR for this epoch: survival scheduler zoo semantics
+        (step gamma 0.1, scheduler.py:8; plateau stateful on val loss)."""
+        if self._plateau is not None:
+            return self._plateau.lr
+        return lr_at(self.cfg.lr_schedule, self.cfg.lr, epoch,
+                     self.cfg.num_epochs, step_gamma=0.1)
 
     def init(self, rng: jax.Array, example_length: int,
              input_dim: int) -> TrainState:
@@ -98,8 +113,7 @@ class SurvivalEngine:
                     rng_key: jax.Array):
         order = list(indices)
         self._rng.shuffle(order)
-        lr = lr_at(self.cfg.lr_schedule, self.cfg.lr, epoch,
-                   self.cfg.num_epochs)
+        lr = self.epoch_lr(epoch)
         total, risks, censors, times = 0.0, [], [], []
         for j, idx in enumerate(order):
             _, bag, event, censorship, label = dataset[idx]
@@ -143,6 +157,8 @@ class SurvivalEngine:
                 state, dataset, train_idx, epoch,
                 jax.random.fold_in(key, epoch))
             val_loss, val_ci = self.validate(state.params, dataset, val_idx)
+            if self._plateau is not None:
+                self._plateau.step(val_loss)
             if logger:
                 logger.print(f"epoch {epoch}: train loss {tr_loss:.4f} "
                              f"ci {tr_ci:.4f} | val loss {val_loss:.4f} "
@@ -156,3 +172,116 @@ class SurvivalEngine:
                 if checkpoint_fn:
                     checkpoint_fn(epoch, val_ci, state.params)
         return best_score, best_epoch, best_params
+
+
+class SeqShardSurvivalEngine(SurvivalEngine):
+    """Sequence-sharded survival training: the 50k-patch long-bag config
+    (reference Survival/main.py:125, README.md:61 "use region_num 16+ for
+    longer sequences") trained with the token axis split across chips.
+
+    The bag's square grid is sharded over the mesh's `sp` axis in whole
+    region-rows (parallel/seqshard.py): every R-MSA layer is embarrassingly
+    parallel and bit-exact, CR-MSA all-gathers only its compressed tokens,
+    and the attention pool runs a psum-stable global softmax
+    (models/pool.py).  Parameters and the optimizer update stay replicated;
+    shard_map's transpose psum-reduces the parameter gradients.
+
+    Drop-in for SurvivalEngine: same train_epoch/validate/learning, so
+    `run_survival_cv` reaches it from the CLI via --sp_shards.
+    """
+
+    def __init__(self, model_cfg, cfg: SurvivalEngineConfig, mesh,
+                 sp_axis: str = "sp"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..models.rrt import RRTMIL
+        from ..models.survival import SurvivalHead
+        from ..parallel.seqshard import sharded_config
+        self.mesh = mesh
+        self.sp_axis = sp_axis
+        self.sp = int(mesh.shape[sp_axis])
+        self.model_cfg = model_cfg                  # unsharded (bucketing)
+        sharded = sharded_config(model_cfg, self.sp, sp_axis)
+        super().__init__(SurvivalHead(RRTMIL(sharded)), cfg,
+                         model_cfg.encoder)
+        # init must run outside shard_map, where lax.axis_index is unbound;
+        # an unsharded twin has the identical parameter tree.
+        self._init_model = SurvivalHead(RRTMIL(model_cfg))
+        self._x_sharding = NamedSharding(mesh, P(None, sp_axis, None))
+        self._m_sharding = NamedSharding(mesh, P(None, sp_axis))
+
+    def init(self, rng: jax.Array, example_length: int,
+             input_dim: int) -> TrainState:
+        from ..parallel.seqshard import sharded_bucket_for
+        repr_length, data_length = sharded_bucket_for(
+            example_length, self.encoder_cfg, self.sp)
+        x = jnp.zeros((1, data_length, input_dim), jnp.float32)
+        mask = jnp.ones((1, data_length), bool)
+        params = self._init_model.init(
+            {"params": rng, "dropout": rng}, x, mask=mask,
+            length=repr_length, deterministic=True)["params"]
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    def _prep(self, bag: np.ndarray):
+        from ..data.bucketing import BucketSpec, pad_bag
+        from ..parallel.seqshard import sharded_bucket_for
+        repr_length, data_length = sharded_bucket_for(
+            bag.shape[0], self.encoder_cfg, self.sp)
+        x, mask = pad_bag(bag.astype(np.float32), data_length)
+        spec = BucketSpec(key=(int(np.sqrt(data_length)),),
+                          repr_length=repr_length, data_length=data_length)
+        x = jax.device_put(jnp.asarray(x[None]), self._x_sharding)
+        mask = jax.device_put(jnp.asarray(mask[None]), self._m_sharding)
+        return x, mask, spec
+
+    def _shard_apply(self, params, x, mask, length: int, deterministic,
+                     rng):
+        """model.apply through shard_map over the token axis."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        def local(p, x_l, m_l, r):
+            # decorrelate dropout masks across shards (one global draw is
+            # impossible locally; per-shard independent streams are the
+            # statistically faithful choice)
+            r = jax.random.fold_in(r, jax.lax.axis_index(self.sp_axis))
+            rngs = None if deterministic else {"dropout": r}
+            hazards, survival = self.model.apply(
+                {"params": p}, x_l, mask=m_l, length=length,
+                deterministic=deterministic, rngs=rngs)
+            return hazards, survival
+
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # metadata (same note as parallel/seqshard.py).
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(None, self.sp_axis, None),
+                      P(None, self.sp_axis), P()),
+            out_specs=(P(), P()), check_vma=False,
+        )(params, x, mask, rng)
+
+    @partial(jax.jit, static_argnames=("self", "length"), donate_argnums=(1,))
+    def _train_step(self, state, x, mask, label, censorship, lr, rng,
+                    length: int):
+        def loss_fn(params):
+            hazards, survival = self._shard_apply(params, x, mask, length,
+                                                  False, rng)
+            loss = self._loss(hazards, survival, label, censorship)
+            risk = -jnp.sum(survival, axis=-1)
+            return loss, risk
+
+        (loss, risk), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1), loss, risk)
+
+    @partial(jax.jit, static_argnames=("self", "length"))
+    def _eval_step(self, params, x, mask, label, censorship, length: int):
+        hazards, survival = self._shard_apply(params, x, mask, length, True,
+                                              jax.random.PRNGKey(0))
+        loss = self._loss(hazards, survival, label, censorship)
+        return loss, -jnp.sum(survival, axis=-1)

@@ -33,10 +33,20 @@ def parse_args(argv=None):
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--weight_decay", type=float, default=1e-5)
     parser.add_argument("--loss", type=str, default="nll_surv")
+    parser.add_argument("--input_dim", type=int, default=None,
+                        help="feature dim override (default: 512 for plip, "
+                             "1024 otherwise)")
     parser.add_argument("--epeg_k", type=int, default=15)
     parser.add_argument("--crmsa_k", type=int, default=3)
     parser.add_argument("--no_log", action="store_true")
     parser.add_argument("--results_dir", type=str, default=None)
+    parser.add_argument("--sp_shards", type=int, default=1,
+                        help="sequence-parallel shards for long bags "
+                             "(RRTMIL only): split the token grid across "
+                             "this many devices (reference scales long bags "
+                             "in one GPU's memory via region_num=16, "
+                             "Survival/main.py:125; this is the multi-chip "
+                             "generalization)")
     args = parser.parse_args(argv)
 
     if args.results_dir is None:
@@ -52,6 +62,8 @@ def parse_args(argv=None):
 def main():
     args = parse_args()
     print(args)
+    from rrtmil_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     from rrtmil_tpu.harness.survival import run_survival_cv
     run_survival_cv(args)
     print("finished!")
