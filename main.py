@@ -55,6 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     # Model
     parser.add_argument("--ds_average", action="store_true")
+    parser.add_argument("--confounder_path", default="", type=str,
+                        help="ibmil confounder prototypes: a directory laid "
+                             "out as {path}/{fold}/train_bag_cls_agnostic_"
+                             "feats_proto_{k}.npy (tools/build_confounders"
+                             ".py) or a single .npy (reference "
+                             "main.py:197-202; NB the reference never "
+                             "registers this flag, so its --model ibmil "
+                             "crashes as shipped)")
+    parser.add_argument("--confounder_k", default=8, type=int,
+                        help="number of k-means confounder prototypes")
     parser.add_argument("--dsmil_init", default="", type=str,
                         help="dsmil warm-start checkpoint (.pth or .npz from "
                              "tools/convert_dsmil_init.py); the reference "

@@ -17,6 +17,7 @@ Offline flow (reference Clustering.sh):
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -81,15 +82,28 @@ def extract_bag_features(model, params, dataset, indices=None) -> np.ndarray:
     """Pooled 512-d bag embedding per training bag (the reference extracts
     these from a trained AB-MIL, Survival/models/IBMIL/clustering.py via
     Clustering.sh).  `model` must support `return_pooled=True`
-    (models/abmil.ABMIL does)."""
-    import jax.numpy as jnp
+    (models/abmil.ABMIL does).
+
+    Bags are padded to power-of-two buckets with a token mask (masked
+    pooling is exact), bounding XLA compiles to O(log max_len) instead of
+    one per distinct bag length."""
+    @partial(jax.jit, static_argnames=("n",))
+    def pooled_fn(p, x, mask, n: int):
+        _, pooled = model.apply({"params": p}, x, mask=mask,
+                                deterministic=True, return_pooled=True)
+        return pooled
+
     feats = []
     indices = range(len(dataset)) if indices is None else indices
     for i in indices:
         bag, _ = dataset[i]
         bag = np.asarray(bag, np.float32)
-        _, pooled = model.apply({"params": params}, jnp.asarray(bag[None]),
-                                deterministic=True, return_pooled=True)
+        n = 1 << max(6, (bag.shape[0] - 1).bit_length())
+        x = np.zeros((1, n, bag.shape[1]), np.float32)
+        x[0, :bag.shape[0]] = bag
+        mask = np.zeros((1, n), bool)
+        mask[0, :bag.shape[0]] = True
+        pooled = pooled_fn(params, jnp.asarray(x), jnp.asarray(mask), n)
         feats.append(np.asarray(pooled)[0])
     return np.stack(feats)
 

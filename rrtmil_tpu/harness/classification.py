@@ -133,7 +133,23 @@ def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
             model, ecfg, encoder_cfg=enc_cfg,
             grad_clipping=getattr(args, "grad_clipping", 5.0))
     else:
-        model, enc_cfg = build_model_from_args(args)
+        confounders = None
+        if args.model == "ibmil" and getattr(args, "confounder_path", ""):
+            # per-fold k-means prototypes from the offline clustering
+            # pipeline (tools/build_confounders.py).  Path resolution
+            # mirrors reference main.py:197-202 -- NB the reference never
+            # defines --confounder_path/--confounder_k in argparse, so its
+            # `--model ibmil` crashes as shipped (docs/PARITY.md); we
+            # implement the intended behavior.
+            path = args.confounder_path
+            if not path.endswith(".npy"):
+                path = os.path.join(
+                    path, str(fold),
+                    f"train_bag_cls_agnostic_feats_proto_"
+                    f"{getattr(args, 'confounder_k', 8)}.npy")
+            confounders = tuple(map(tuple, np.load(path).tolist()))
+            logger.print(f"ibmil confounders loaded from {path}")
+        model, enc_cfg = build_model_from_args(args, confounders=confounders)
         engine = Engine(model, engine_config_from_args(args),
                         encoder_cfg=enc_cfg)
     example_len = max(train_set.bag(0).shape[0], 64)
@@ -256,8 +272,10 @@ def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
     return metrics
 
 
-def run_cv(args) -> Dict[str, List[float]]:
-    """The reference `main(args)` (main.py:23-96)."""
+def make_splits(args):
+    """Seeded patient shuffle + stratified k-fold, exactly as run_cv builds
+    them (reference main.py:28-42 + dataloader.py:65-93) -- shared with
+    tools/build_confounders.py so the confounder folds line up."""
     random.seed(args.seed)
     np.random.seed(args.seed)
 
@@ -267,7 +285,12 @@ def run_cv(args) -> Dict[str, List[float]]:
     random.shuffle(index)
     patients, labels = patients[index], labels[index]
 
-    splits = get_kfold(args.cv_fold, patients, labels, args.val_ratio)
+    return get_kfold(args.cv_fold, patients, labels, args.val_ratio)
+
+
+def run_cv(args) -> Dict[str, List[float]]:
+    """The reference `main(args)` (main.py:23-96)."""
+    splits = make_splits(args)
 
     fold_start = args.fold_start
     resume_payload = None
