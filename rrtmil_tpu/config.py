@@ -62,7 +62,11 @@ class InnerAttentionConfig:
     epeg_fold: bool = True              # fold the (k,1) EPEG conv into q
     # before the fused kernel (exact: the query-axis conv commutes with the
     # key matmul, ops/epeg.epeg_fold_q) so the kernel runs its plain
-    # attention path; only affects the fused backend.
+    # attention path; only affects the fused backend.  Kill switch: setting
+    # RRTMIL_EPEG_FOLD=0 in the environment disables folding even when this
+    # is True — the env var is read at TRACE time (like RRTMIL_PALLAS_RB /
+    # RRTMIL_PALLAS_INTERPRET), so it must be set before the first
+    # jit-compile of the apply fn to take effect.
     mm_dtype: str = "bfloat16"          # MXU input dtype of the fused
     # kernels (accumulation is always fp32).  bf16 is the fast path on TPU
     # (fp32 MXU inputs take the slow multi-pass path); 'float32' gives

@@ -182,11 +182,28 @@ class BagDataset:
     def __getitem__(self, idx: int):
         return self.bag(idx), self.slide_label[idx]
 
-    def lengths(self) -> List[int]:
-        """Bag lengths (loads headers lazily; caches on persistence)."""
+    def length(self, idx: int) -> int:
+        """Bag length without materialising features when avoidable: cached
+        arrays answer from shape, .npy files from the numpy header alone;
+        other formats fall back to a full load (cached under persistence)."""
         if self.keep_same_psize > 0:
-            return [self.keep_same_psize] * len(self)
-        return [self.bag(i).shape[0] for i in range(len(self))]
+            return self.keep_same_psize
+        cached = self._cache[idx]
+        if cached is not None:
+            return int(cached.shape[0])
+        path = self.slide_path[idx]
+        if path.endswith(".npy"):
+            with open(path, "rb") as f:
+                version = np.lib.format.read_magic(f)
+                shape, _, _ = np.lib.format._read_array_header(f, version)
+            if len(shape) == 3 and shape[0] == 1:
+                return int(shape[1])
+            return int(shape[0])
+        return int(self.bag(idx).shape[0])
+
+    def lengths(self) -> List[int]:
+        """Bag lengths (header probes where possible, see length())."""
+        return [self.length(i) for i in range(len(self))]
 
 
 class C16Dataset(BagDataset):
@@ -238,6 +255,12 @@ class TCGADataset(BagDataset):
             sel = np.random.permutation(feats.shape[0])[: self.max_patch]
             feats = feats[sel]
         return feats
+
+    def length(self, idx: int) -> int:
+        n = super().length(idx)
+        if self.max_patch > 0 and self.keep_same_psize <= 0:
+            n = min(n, self.max_patch)  # same_psize resamples to p last
+        return n
 
 
 class ArrayDataset(BagDataset):

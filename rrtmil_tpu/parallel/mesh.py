@@ -49,3 +49,46 @@ def token_sharding(mesh: Mesh) -> NamedSharding:
     a multiple of sp * row-block; the region partitioner keeps whole grid
     rows on one shard so regions never straddle shards."""
     return NamedSharding(mesh, P("dp", "sp", None))
+
+
+# ---------------------------------------------------------------------------
+# Multi-controller (multi-process / multi-host) bring-up
+# ---------------------------------------------------------------------------
+
+def initialize_multiprocess(coordinator_address: str, num_processes: int,
+                            process_id: int,
+                            cpu_collectives: str = "gloo") -> None:
+    """Join a multi-controller JAX cluster (one process per host).
+
+    On a real TPU pod each process owns its local chips and this is a thin
+    veneer over ``jax.distributed.initialize`` (cluster schedulers usually
+    provide the arguments via env); on CPU test rigs the gloo backend carries
+    the cross-process psum/all-gather so the same mesh code runs without
+    hardware.  After this returns, ``jax.devices()`` is the GLOBAL device
+    list and ``make_mesh`` transparently builds pod-wide meshes; per-host
+    input feeding goes through ``global_array``.
+
+    Must be called before the backend is first touched (i.e. before any
+    array op); ``jax.config.update('jax_platforms', 'cpu')`` beforehand
+    forces the CPU backend on rigs that pin an accelerator platform.
+    """
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
+    jax.distributed.initialize(coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_array(data, mesh: Mesh, pspec: P) -> jax.Array:
+    """Assemble a mesh-global array from host-replicated numpy data.
+
+    Every process passes the SAME full array; each device keeps only its
+    shard (``make_array_from_callback`` slices by global index, so device
+    order never matters).  For host-sharded input pipelines, pass each
+    host's slice through ``jax.make_array_from_process_local_data`` instead.
+    """
+    data = np.asarray(data)
+    sharding = NamedSharding(mesh, pspec)
+    return jax.make_array_from_callback(data.shape, sharding,
+                                        lambda idx: data[idx])

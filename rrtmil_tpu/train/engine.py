@@ -260,10 +260,13 @@ class Engine:
     # -- batching ----------------------------------------------------------
 
     def _make_batch(self, dataset, indices: Sequence[int], train: bool):
-        # Native C++ fast path: eval batches over on-disk .npy bags skip the
-        # Python read/cast/pad entirely (data/native_loader.py).
-        if not train and not self.cfg.exact and self._can_use_native(dataset,
-                                                                     indices):
+        # Native C++ fast path: batches over on-disk .npy bags skip the
+        # Python read/cast/pad entirely (data/native_loader.py).  Train
+        # batches qualify too when no host-side augmentation is configured.
+        augmented = train and (self.cfg.patch_shuffle or
+                               self.cfg.group_shuffle)
+        if (not augmented and not self.cfg.exact
+                and self._can_use_native(dataset, indices)):
             return self._make_batch_native(dataset, indices)
         bags, labels, lengths = [], [], []
         for i in indices:
@@ -298,6 +301,12 @@ class Engine:
             return False
         if getattr(dataset, "persistence", False):
             return False
+        # dataset-level resampling (same_psize / tcga max_patch) happens in
+        # Python __getitem__, which the native path bypasses
+        if getattr(dataset, "keep_same_psize", 0) > 0:
+            return False
+        if getattr(dataset, "max_patch", -1) > 0:
+            return False
         return all(paths[i].endswith(".npy") for i in indices)
 
     def _make_batch_native(self, dataset, indices):
@@ -312,6 +321,8 @@ class Engine:
             shape, _, _ = np.lib.format._read_array_header(f, version)
         cols = shape[1]
         x, mask, _ = native_loader.fill_batch(paths, spec.data_length, cols)
+        if self.cfg.transfer_dtype != "float32":
+            x = x.astype(self.cfg.transfer_dtype)
         return (jnp.asarray(x), jnp.asarray(mask),
                 jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
 
@@ -321,11 +332,13 @@ class Engine:
         bsz = 1 if self.cfg.exact else self.cfg.batch_size
         if bsz <= 1:
             return [[i] for i in order]
+        length_of = getattr(dataset, "length",
+                            lambda i: np.asarray(dataset[i][0]).shape[0])
         pending: Dict[Tuple, List[int]] = {}
         batches: List[List[int]] = []
         for i in order:
-            bag, _ = dataset[i]
-            spec = bucket_for(np.asarray(bag).shape[0], self.encoder_cfg)
+            # header probe only — no feature load just to learn the length
+            spec = bucket_for(length_of(i), self.encoder_cfg)
             q = pending.setdefault(spec.key, [])
             q.append(i)
             if len(q) == bsz:
@@ -335,6 +348,25 @@ class Engine:
             if q:
                 batches.append(q)
         return batches
+
+    def _batch_iter(self, dataset, batches: List[List[int]], train: bool):
+        """Yield assembled batches, overlapping next-batch host assembly
+        (load + pad + H2D enqueue) with the in-flight device step.  One
+        worker keeps assembly order — and hence augmentation RNG draws —
+        identical to the serial loop."""
+        if len(batches) <= 1:
+            for b in batches:
+                yield self._make_batch(dataset, b, train)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(self._make_batch, dataset, batches[0], train)
+            for bi in range(len(batches)):
+                cur = nxt.result()
+                if bi + 1 < len(batches):
+                    nxt = pool.submit(self._make_batch, dataset,
+                                      batches[bi + 1], train)
+                yield cur
 
     # -- epoch loops -------------------------------------------------------
 
@@ -354,8 +386,8 @@ class Engine:
         total_loss, count = 0.0, 0
         acc = self.cfg.accumulation_steps
         acc_grads, acc_n = None, 0
-        for bi, batch_idx in enumerate(batches):
-            x, mask, labels, spec = self._make_batch(dataset, batch_idx, True)
+        for bi, (x, mask, labels, spec) in enumerate(
+                self._batch_iter(dataset, batches, True)):
             lr = self.current_lr(epoch, len(batches))
             step_rng = jax.random.fold_in(rng_key, self.global_iter)
             if acc <= 1:
@@ -387,8 +419,8 @@ class Engine:
         order = list(order if order is not None else range(len(dataset)))
         batches = self._batched_order(dataset, order)
         probs_all, labels_all, losses_all = [], [], []
-        for batch_idx in batches:
-            x, mask, labels, spec = self._make_batch(dataset, batch_idx, False)
+        for x, mask, labels, spec in self._batch_iter(dataset, batches,
+                                                      False):
             probs, losses = self._eval_step(params, x, mask, labels,
                                             spec.repr_length)
             probs_all.append(np.asarray(probs))

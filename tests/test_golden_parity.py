@@ -70,6 +70,10 @@ REGION_CFGS = {
     "l500_rs16": RMSAConfig(
         attn=InnerAttentionConfig(dim=512, epeg=EPEGConfig(enabled=True, k=15)),
         region=RegionConfig(region_num=8, region_size=16)),
+    # --region_attn ntrans ablation (reference rmsa.py:167-173)
+    "l937_ntrans": RMSAConfig(
+        attn=InnerAttentionConfig(dim=512, epeg=EPEGConfig(enabled=False)),
+        region=RegionConfig(region_num=8), region_attn="ntrans"),
 }
 
 
@@ -165,6 +169,9 @@ ENCODER_CFGS = {
     "ppeg": RRTEncoderConfig(epeg_k=15, crmsa_k=3, n_layers=3, dropout=0.0,
                              pos=PosEmbedConfig(kind="ppeg", pos_pos=0)),
     "n3layers": RRTEncoderConfig(epeg_k=15, crmsa_k=3, n_layers=3, dropout=0.0),
+    # --attn ntrans ablation (reference rrt.py:49-57)
+    "ntrans": RRTEncoderConfig(attn_mode="ntrans", epeg_k=15, crmsa_k=3,
+                               dropout=0.0),
 }
 
 

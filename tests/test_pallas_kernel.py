@@ -131,26 +131,22 @@ def test_epeg_fold_matches_conv_on_logits(kk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-4)
 
 
-def test_inner_attention_fold_matches_unfolded_module():
+def test_inner_attention_fold_matches_unfolded_module(monkeypatch):
     """InnerAttention with epeg_fold on/off: same params, same output
     (pallas backend, interpret mode)."""
     import dataclasses
-    import os
     from rrtmil_tpu.config import EPEGConfig, InnerAttentionConfig
     from rrtmil_tpu.models.rrt import InnerAttention
 
-    os.environ["RRTMIL_PALLAS_INTERPRET"] = "1"
-    try:
-        base = InnerAttentionConfig(
-            dim=64, num_heads=4, backend="pallas", mm_dtype="float32",
-            epeg=EPEGConfig(enabled=True, k=9, bias=True))
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 36, 64))
-        m_fold = InnerAttention(dataclasses.replace(base, epeg_fold=True))
-        m_ref = InnerAttention(dataclasses.replace(base, epeg_fold=False))
-        params = m_ref.init({"params": jax.random.PRNGKey(1)}, x)["params"]
-        ref = m_ref.apply({"params": params}, x)
-        got = m_fold.apply({"params": params}, x)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=3e-5)
-    finally:
-        os.environ.pop("RRTMIL_PALLAS_INTERPRET", None)
+    monkeypatch.setenv("RRTMIL_PALLAS_INTERPRET", "1")
+    base = InnerAttentionConfig(
+        dim=64, num_heads=4, backend="pallas", mm_dtype="float32",
+        epeg=EPEGConfig(enabled=True, k=9, bias=True))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 36, 64))
+    m_fold = InnerAttention(dataclasses.replace(base, epeg_fold=True))
+    m_ref = InnerAttention(dataclasses.replace(base, epeg_fold=False))
+    params = m_ref.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    ref = m_ref.apply({"params": params}, x)
+    got = m_fold.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5)

@@ -258,6 +258,9 @@ def gen_region_attention():
         ("l100", 100, dict(region_num=8, epeg=True, epeg_k=15)),
         ("l937_rn16", 937, dict(region_num=16, epeg=True, epeg_k=9)),
         ("l500_rs16", 500, dict(region_size=16, region_num=8, epeg=True, epeg_k=15)),
+        # --region_attn ntrans ablation (reference rmsa.py:167-173)
+        ("l937_ntrans", 937, dict(region_num=8, epeg=False,
+                                  region_attn="ntrans")),
     ]:
         seeded()
         mod = RegionAttntion(dim=512, num_heads=8, head_dim=64,
@@ -328,13 +331,17 @@ def gen_encoder():
         "peg": dict(epeg_k=15, crmsa_k=3, pos="peg", pos_pos=-1, n_layers=3),
         "ppeg": dict(epeg_k=15, crmsa_k=3, pos="ppeg", pos_pos=0, n_layers=3),
         "n3layers": dict(epeg_k=15, crmsa_k=3, n_layers=3),
+        # --attn ntrans ablation (reference rrt.py:49-57)
+        "ntrans": dict(attn="ntrans", epeg_k=15, crmsa_k=3),
     }.items():
         seeded()
         mod = RRTEncoder(mlp_dim=512, drop_out=0.0, **kwargs).eval()
         x = torch.randn(1, 937, 512)
         with torch.no_grad():
             y = mod(x)
-        save(f"encoder_{tag}", {"x": t2n(x)}, encoder_params(mod), {"y": t2n(y)})
+        save(f"encoder_{tag}", {"x": t2n(x)},
+             encoder_params(mod, attn_mode=kwargs.get("attn", "rmsa")),
+             {"y": t2n(y)})
 
 
 def gen_rrtmil():

@@ -67,6 +67,38 @@ def measure(batch: int, compute_dtype: str) -> float:
     return per_step / batch
 
 
+def measure_host_pipeline(batch: int = 8, n_slides: int = 16) -> float:
+    """Host-side batch assembly time (native C++ load + pad + cast) per
+    batch over an on-disk .npy dataset — the overlap budget: the prefetch
+    thread (engine._batch_iter) hides this behind the device step, so the
+    pipeline is device-bound iff this is below the device step time."""
+    import tempfile
+
+    from rrtmil_tpu.data.datasets import C16Dataset
+
+    cfg = c16_r50()
+    engine = Engine(RRTMIL(cfg), EngineConfig(batch_size=batch),
+                    encoder_cfg=cfg.encoder)
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="train_bench_")
+    os.makedirs(os.path.join(tmp, "pt"), exist_ok=True)
+    names = []
+    for i in range(n_slides):
+        np.save(os.path.join(tmp, "pt", f"s{i}.npy"),
+                rng.standard_normal((N_PATCHES, cfg.input_dim),
+                                    ).astype(np.float32))
+        names.append(f"s{i}")
+    ds = C16Dataset(names, [i % 2 for i in range(n_slides)], tmp)
+    idx = list(range(batch))
+    engine._make_batch(ds, idx, True)     # warm page cache / lib load
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        engine._make_batch(ds, idx, True)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}", flush=True)
     for dt in ("bfloat16", "float32"):
@@ -77,3 +109,10 @@ if __name__ == "__main__":
                       f"({1e3 / ms:7.1f} slides/s)", flush=True)
             except Exception as e:
                 print(f"{dt:9s} batch={b}  FAILED: {str(e)[:120]}", flush=True)
+    try:
+        host_s = measure_host_pipeline(batch=8)
+        print(f"host pipeline batch=8: {host_s * 1e3:7.1f} ms/batch "
+              f"({host_s / 8 * 1e3:6.2f} ms/slide) -- overlapped by "
+              f"engine._batch_iter prefetch", flush=True)
+    except Exception as e:
+        print(f"host pipeline FAILED: {str(e)[:120]}", flush=True)
