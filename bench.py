@@ -157,8 +157,8 @@ def _extra_metrics(rate: float) -> dict:
         from rrtmil_tpu.config import c16_r50
         from rrtmil_tpu.utils.flops import rrtmil_flops
 
-        # utils/flops.py follows the reference's MAC convention for the
-        # attention terms (rmsa.py:139-150); x2 converts MACs -> FLOPs.
+        # utils/flops.py counts MACs throughout (the reference rmsa.py
+        # convention); the x2 MAC->FLOP factor is applied exactly once here.
         counts = rrtmil_flops(N_PATCHES, c16_r50())
         useful_flops = 2 * counts["total"]
         kind = jax.devices()[0].device_kind

@@ -66,6 +66,22 @@ def available() -> bool:
     return not _build_failed and _load() is not None
 
 
+def header_shape_is_2d(path: str) -> bool:
+    """True when the npy header declares a 2-D (rows, cols) array.
+
+    The C++ parser (bag_loader.cpp) sscanf's only the first two dims, so a
+    (1, N, D) bag -- which load_feature_file supports by squeezing -- would
+    be read as rows=1 and filled with the first N floats of the payload.
+    Callers must reject non-2-D files and fall back to the Python path."""
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        return len(shape) == 2
+    except Exception:
+        return False
+
+
 def num_rows(path: str) -> int:
     """Header-only row count (for bucketing without loading payloads)."""
     lib = _load()

@@ -72,7 +72,13 @@ def initialize_multiprocess(coordinator_address: str, num_processes: int,
     array op); ``jax.config.update('jax_platforms', 'cpu')`` beforehand
     forces the CPU backend on rigs that pin an accelerator platform.
     """
-    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+    # Select the CPU collectives implementation whenever the CPU backend can
+    # end up hosting the mesh: jax_platforms explicitly containing 'cpu' OR
+    # unset (auto-detect on an accelerator-less host resolves to cpu, where
+    # the default implementation can hang cross-process).  The setting only
+    # affects the CPU backend, so it is harmless when an accelerator wins.
+    platforms = str(jax.config.jax_platforms or "")
+    if not platforms or "cpu" in platforms:
         jax.config.update("jax_cpu_collectives_implementation",
                           cpu_collectives)
     jax.distributed.initialize(coordinator_address,

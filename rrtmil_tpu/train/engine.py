@@ -307,7 +307,13 @@ class Engine:
             return False
         if getattr(dataset, "max_patch", -1) > 0:
             return False
-        return all(paths[i].endswith(".npy") for i in indices)
+        if not all(paths[i].endswith(".npy") for i in indices):
+            return False
+        # The C++ header parser (native/bag_loader.cpp) reads the first two
+        # dims only; a (1, N, D) 3-D bag would be parsed as rows=1 and
+        # silently fill garbage.  Probe the npy headers and require 2-D.
+        return all(native_loader.header_shape_is_2d(paths[i])
+                   for i in indices)
 
     def _make_batch_native(self, dataset, indices):
         from ..data import native_loader

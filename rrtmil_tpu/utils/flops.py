@@ -54,12 +54,17 @@ def encoder_flops(length: int, cfg: RRTEncoderConfig) -> int:
 
 
 def rrtmil_flops(length: int, cfg: RRTMILConfig) -> Dict[str, int]:
-    """Per-component FLOPs for one bag forward (the thop measurement
-    protocol, reference flops.ipynb)."""
-    proj = length * cfg.input_dim * 512 * 2
+    """Per-component MAC counts for one bag forward (the thop measurement
+    protocol, reference flops.ipynb).
+
+    One convention throughout: MACs, following the reference's hand-written
+    attention estimator (rmsa.py:139-150, which counts N*d*3d for qkv etc.
+    without the x2 multiply-add factor).  Callers wanting true FLOPs
+    (e.g. bench.py's MFU) apply the x2 MAC->FLOP factor once on `total`."""
+    proj = length * cfg.input_dim * 512
     enc = encoder_flops(length, cfg.encoder)
-    pool = length * 512 * 128 * 2 + length * 128 * 2
-    head = 512 * cfg.n_classes * 2
+    pool = length * 512 * 128 + length * 128
+    head = 512 * cfg.n_classes
     return {"patch_to_emb": proj, "encoder": enc, "pool": pool, "head": head,
             "total": proj + enc + pool + head}
 

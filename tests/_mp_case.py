@@ -49,7 +49,7 @@ def run_case(mesh, steps: int = 3):
     params = model.init({"params": key, "dropout": key},
                         jnp.asarray(x[:1]), mask=jnp.asarray(mask[:1]),
                         length=spec.repr_length, deterministic=True)["params"]
-    tx = make_optimizer("adam", 1e-3)
+    tx = make_optimizer("adam", weight_decay=0.0)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     step_fn = make_sharded_train_step(model, tx, cross_entropy, mesh,

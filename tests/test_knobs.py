@@ -275,3 +275,27 @@ def test_dsmil_warm_start_from_reference_ckpt():
     np.testing.assert_allclose(
         np.asarray(loaded["i_classifier"]["kernel"]),
         np.asarray(params["i_classifier"]["kernel"]))
+
+
+def test_native_loader_rejects_3d_npy(tmp_path):
+    """(1, N, D)-shaped .npy bags must fall back to the Python path: the C++
+    header parser reads only the first two dims and would bucket the bag as
+    length 1 filled with garbage (ADVICE r2)."""
+    from rrtmil_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    p2 = str(tmp_path / "flat.npy")
+    p3 = str(tmp_path / "squeezable.npy")
+    np.save(p2, np.ones((6, 4), np.float32))
+    np.save(p3, np.ones((1, 6, 4), np.float32))
+    assert native_loader.header_shape_is_2d(p2)
+    assert not native_loader.header_shape_is_2d(p3)
+
+    class FakeDS:
+        slide_path = [p2, p3]
+        slide_label = [0, 1]
+        persistence = False
+
+    engine, _ = _mk_engine()
+    assert engine._can_use_native(FakeDS(), [0])
+    assert not engine._can_use_native(FakeDS(), [0, 1])
