@@ -101,7 +101,7 @@ class DTFDClassificationEngine(Engine):
         grads = _clip_group(grads, TIER2_KEYS, self.grad_clipping)
 
         updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params)
+                                            state.params, lr=lr)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         total = loss0 + loss1

@@ -53,7 +53,7 @@ def make_fold_parallel_step(model, tx: optax.GradientTransformation,
             return loss_fn(logits, labels)
 
         l, grads = jax.value_and_grad(loss)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params, lr=lr)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,

@@ -182,7 +182,7 @@ def make_seqshard_train_step(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
 
     def step(state: TrainState, x, mask, labels, lr, rng):
         loss, grads = value_and_grad(state.params, x, mask, labels, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params, lr=lr)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,

@@ -183,7 +183,8 @@ class Engine:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params, lr=lr)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
@@ -218,7 +219,7 @@ class Engine:
             scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params)
+                                            state.params, lr=lr)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,

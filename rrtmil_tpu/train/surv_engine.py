@@ -90,7 +90,7 @@ class SurvivalEngine:
         (loss, risk), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params)
+                                            state.params, lr=lr)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params=params, opt_state=opt_state,
@@ -273,7 +273,7 @@ class SeqShardSurvivalEngine(SurvivalEngine):
         (loss, risk), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params)
+                                            state.params, lr=lr)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params=params, opt_state=opt_state,
