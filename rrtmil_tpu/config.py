@@ -164,6 +164,9 @@ class RRTEncoderConfig:
     min_region_num: int = 0
     min_region_ratio: float = 0.0
     attn_mode: str = "rmsa"   # attention used in the first n_layers-1 layers
+    region_attn: str = "native"  # R-MSA per-region attention: 'native'
+    # (InnerAttention) | 'ntrans' (NystromAttention inside each region, the
+    # reference's --region_attn ablation, main.py:184 -> rmsa.py:167-173)
     epeg: bool = True
     epeg_k: int = 15
     epeg_2d: bool = False
@@ -209,7 +212,8 @@ class RRTEncoderConfig:
                             num_heads=self.n_heads, dropout=self.dropout)
         return TransLayerConfig(
             dim=self.dim, attn_mode=self.attn_mode,
-            rmsa=RMSAConfig(attn=attn, region=region, nystrom=nys),
+            rmsa=RMSAConfig(attn=attn, region=region, nystrom=nys,
+                            region_attn=self.region_attn),
             nystrom=nys,
             drop_path=self.drop_path, ffn=self.ffn, ffn_act=self.ffn_act,
             mlp_ratio=self.mlp_ratio, dropout=self.dropout)

@@ -39,6 +39,7 @@ def encoder_config_from_args(args) -> RRTEncoderConfig:
         region_num=args.region_num,
         min_region_num=args.min_region_num,
         attn_mode=args.attn,
+        region_attn=args.region_attn,
         epeg=args.epeg,
         epeg_k=args.epeg_k,
         epeg_2d=args.epeg_2d,
@@ -78,11 +79,18 @@ def build_model_from_args(args, confounders=None):
 def engine_config_from_args(args) -> EngineConfig:
     cls_alpha, aux_alpha = zoo.LOSS_WEIGHT_OVERRIDES.get(
         args.model, (args.cls_alpha, args.aux_alpha))
+    # Single-bag models: CLAM's instance sampler and DSMIL's critical-query
+    # attention operate on one bag (models/clam.py keeps x[0]); the
+    # reference always trains them at batch_size=1 (main.py:639,445-447).
+    # Force bsz=1 rather than silently dropping bags 2..B from a batch.
+    batch_size = args.batch_size
+    if args.model in ("clam_sb", "clam_mb", "dsmil") and batch_size != 1:
+        batch_size = 1
     return EngineConfig(
         loss=args.loss, opt=args.opt, lr=args.lr,
         weight_decay=args.weight_decay, lr_schedule=args.lr_sche,
         lr_supi=args.lr_supi, num_epochs=args.num_epoch,
-        batch_size=args.batch_size, n_classes=args.n_classes,
+        batch_size=batch_size, n_classes=args.n_classes,
         cls_alpha=cls_alpha, aux_alpha=aux_alpha,
         accumulation_steps=args.accumulation_steps, clip_grad=args.clip_grad,
         patch_shuffle=args.patch_shuffle, group_shuffle=args.group_shuffle,
@@ -91,7 +99,9 @@ def engine_config_from_args(args) -> EngineConfig:
         aux_mode=zoo.aux_mode(args.model),
         ds_average=args.model == "dsmil" and getattr(args, "ds_average",
                                                      False),
-        fix_loader_random=getattr(args, "fix_loader_random", False))
+        fix_loader_random=getattr(args, "fix_loader_random", False),
+        log_iter=getattr(args, "log_iter", 100),
+        num_workers=getattr(args, "num_workers", 1))
 
 
 def _make_datasets(args, fold, splits):
@@ -152,6 +162,10 @@ def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
         model, enc_cfg = build_model_from_args(args, confounders=confounders)
         engine = Engine(model, engine_config_from_args(args),
                         encoder_cfg=enc_cfg)
+    # iteration meters (reference main.py:471-490) log through the harness
+    # logger under the fold namespace
+    engine.logger = logger
+    engine.fold = fold
     example_len = max(train_set.bag(0).shape[0], 64)
     state = engine.init(jax.random.PRNGKey(args.seed), example_len,
                         args.input_dim)

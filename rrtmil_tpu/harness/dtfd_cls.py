@@ -105,8 +105,9 @@ class DTFDClassificationEngine(Engine):
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         total = loss0 + loss1
+        meters = jnp.stack([total, loss1, loss0, jnp.float32(0.0)])
         return (TrainState(params=params, opt_state=opt_state,
-                           step=state.step + 1), total, loss1, loss0)
+                           step=state.step + 1), meters)
 
     @partial(jax.jit, static_argnames=("self", "length"))
     def _eval_step_perm(self, params, x, mask, labels, eval_perm,

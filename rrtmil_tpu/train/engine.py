@@ -80,6 +80,16 @@ class EngineConfig:
     fix_loader_random: bool = False  # pin the train-order shuffle stream to
     # the reference's fixed DataLoader generator seed 7784414403328510413
     # (main.py:125-130); forced on for camelyon16 (main.py:731-733).
+    log_iter: int = 100  # iteration-meter period (reference main.py:476-490:
+    # every log_iter iters and on the last, print/log epoch-running averages
+    # of cls loss, aux loss, patch/keep counts, and the current lr).
+    num_workers: int = 1  # host-side batch-assembly workers (the TPU analog
+    # of torch DataLoader num_workers, reference main.py:640).  0 = fully
+    # serial; N>=1 = overlap up to N next-batch assemblies (load + pad +
+    # H2D) with the in-flight device step.  Clamped to 1 while host-side
+    # shuffle augmentation is on: augmentation RNG draws happen inside
+    # batch assembly, and only single-worker in-order assembly keeps the
+    # stream identical to the serial loop (fix_train_random parity).
     transfer_dtype: str = "float32"  # host->device dtype for bags; set
     # 'bfloat16' with compute_dtype='bfloat16' to halve the per-step
     # transfer (a ~40 MB/step saving at N~9k, often the real train
@@ -105,6 +115,10 @@ class Engine:
         self.eval_logits_fn = eval_logits_fn
         self._loss = cross_entropy if cfg.loss == "ce" else bce_with_logits
         self.global_iter = 0
+        # Iteration-meter sink (reference main.py:471-490): the harness sets
+        # `logger` (utils/logger.Logger) and `fold` for the namespaced rows.
+        self.logger = None
+        self.fold = 0
         self._rng = np.random.default_rng(cfg.seed)
         # Train-order shuffle stream; under fix_loader_random it is pinned to
         # the reference's fixed DataLoader generator seed (main.py:125-130)
@@ -127,6 +141,10 @@ class Engine:
     # -- model plumbing ----------------------------------------------------
 
     def _default_apply(self, params, x, mask, length, train, rng, labels):
+        """Returns (logits, aux_loss, ps); ps is the aux models' sampled
+        patch count (CLAM/DSMIL third output, metered by the reference's
+        patch_num/keep_num AverageMeters, main.py:446-474), 0 otherwise.
+        Custom apply_fn callables may return 2-tuples (ps defaults to 0)."""
         kwargs = {}
         if self.cfg.aux_mode == "loss":
             kwargs["labels"] = labels if train else None
@@ -135,17 +153,23 @@ class Engine:
             deterministic=not train,
             rngs={"dropout": rng} if train else {}, **kwargs)
         if not isinstance(out, tuple):
-            return out, 0.0
+            return out, 0.0, 0.0
+        ps = out[2] if len(out) > 2 else 0.0
         if self.cfg.aux_mode == "loss":
             # (logits, aux_loss[, ps]) -- CLAM (reference main.py:445-447)
-            return out[0], out[1]
+            return out[0], out[1], ps
         if self.cfg.aux_mode == "logits":
             # (logits, aux_logits[, ps]) -- DSMIL max_loss: criterion on the
             # max-pooled instance logits (reference dsmil.py:126-133)
             logits, aux_logits = out[0], out[1]
             aux = self._loss(aux_logits, labels) if labels is not None else 0.0
-            return logits, aux
-        return out[0], 0.0
+            return logits, aux, ps
+        return out[0], 0.0, 0.0
+
+    def _apply3(self, *args):
+        """apply_fn normalized to the 3-tuple (logits, aux, ps) contract."""
+        out = self.apply_fn(*args)
+        return out if len(out) == 3 else (out[0], out[1], 0.0)
 
     def init(self, rng: jax.Array, example_length: int, input_dim: int) -> TrainState:
         spec = bucket_for(example_length, self.encoder_cfg)
@@ -171,13 +195,13 @@ class Engine:
         cfg = self.cfg
 
         def loss_fn(params):
-            logits, aux = self.apply_fn(params, x, mask, length, True, rng,
-                                        labels)
+            logits, aux, ps = self._apply3(params, x, mask, length, True, rng,
+                                           labels)
             logit_loss = self._loss(logits, labels)
             total = cfg.cls_alpha * logit_loss + cfg.aux_alpha * aux
-            return total, (logit_loss, aux)
+            return total, (logit_loss, aux, ps)
 
-        (total, (logit_loss, aux)), grads = jax.value_and_grad(
+        (total, (logit_loss, aux, ps)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         if cfg.clip_grad > 0:
             gnorm = optax.global_norm(grads)
@@ -189,7 +213,12 @@ class Engine:
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
-        return new_state, total, logit_loss, aux
+        # meters as one stacked device vector: a single fetch syncs all four
+        meters = jnp.stack([jnp.asarray(total, jnp.float32),
+                            jnp.asarray(logit_loss, jnp.float32),
+                            jnp.asarray(aux, jnp.float32),
+                            jnp.asarray(ps, jnp.float32)])
+        return new_state, meters
 
     @partial(jax.jit, static_argnames=("self", "length"))
     def _grad_step(self, params, x, mask, labels, rng, length: int):
@@ -200,16 +229,20 @@ class Engine:
         cfg = self.cfg
 
         def loss_fn(params):
-            logits, aux = self.apply_fn(params, x, mask, length, True, rng,
-                                        labels)
+            logits, aux, ps = self._apply3(params, x, mask, length, True, rng,
+                                           labels)
             logit_loss = self._loss(logits, labels)
             total = (cfg.cls_alpha * logit_loss + cfg.aux_alpha * aux) \
                 / cfg.accumulation_steps
-            return total, (logit_loss, aux)
+            return total, (logit_loss, aux, ps)
 
-        (total, (logit_loss, aux)), grads = jax.value_and_grad(
+        (total, (logit_loss, aux, ps)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        return total, logit_loss, aux, grads
+        meters = jnp.stack([jnp.asarray(total, jnp.float32),
+                            jnp.asarray(logit_loss, jnp.float32),
+                            jnp.asarray(aux, jnp.float32),
+                            jnp.asarray(ps, jnp.float32)])
+        return meters, grads
 
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
     def _apply_grads(self, state: TrainState, grads, lr):
@@ -243,8 +276,8 @@ class Engine:
             probs = 0.5 * jax.nn.softmax(logits, axis=-1)[:, 1] + \
                 0.5 * jax.nn.softmax(aux_logits, axis=-1)[:, 1]
             return probs, losses
-        logits, _ = self.apply_fn(params, x, mask, length, False,
-                                  jax.random.PRNGKey(0), None)
+        logits, _, _ = self._apply3(params, x, mask, length, False,
+                                    jax.random.PRNGKey(0), None)
         if self.eval_logits_fn is not None:
             logits = self.eval_logits_fn(logits)
         if self.cfg.loss == "ce":
@@ -358,21 +391,38 @@ class Engine:
 
     def _batch_iter(self, dataset, batches: List[List[int]], train: bool):
         """Yield assembled batches, overlapping next-batch host assembly
-        (load + pad + H2D enqueue) with the in-flight device step.  One
-        worker keeps assembly order — and hence augmentation RNG draws —
-        identical to the serial loop."""
-        if len(batches) <= 1:
+        (load + pad + H2D enqueue) with the in-flight device step.
+
+        `num_workers` (the TPU analog of torch DataLoader workers,
+        reference main.py:640) sets how many assemblies run ahead: 0 is
+        fully serial, N overlaps up to N. While host-side shuffle
+        augmentation is on, workers are clamped to 1 -- augmentation RNG
+        draws happen inside assembly, and only single-worker in-order
+        assembly keeps the stream identical to the serial loop."""
+        workers = self.cfg.num_workers
+        augmented = train and (self.cfg.patch_shuffle or
+                               self.cfg.group_shuffle)
+        if augmented:
+            workers = min(workers, 1)
+        if workers <= 0 or len(batches) <= 1:
             for b in batches:
                 yield self._make_batch(dataset, b, train)
             return
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            nxt = pool.submit(self._make_batch, dataset, batches[0], train)
-            for bi in range(len(batches)):
-                cur = nxt.result()
-                if bi + 1 < len(batches):
-                    nxt = pool.submit(self._make_batch, dataset,
-                                      batches[bi + 1], train)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = deque()
+            nxt = 0
+            while nxt < len(batches) and len(pending) < workers:
+                pending.append(pool.submit(self._make_batch, dataset,
+                                           batches[nxt], train))
+                nxt += 1
+            while pending:
+                cur = pending.popleft().result()
+                if nxt < len(batches):
+                    pending.append(pool.submit(self._make_batch, dataset,
+                                               batches[nxt], train))
+                    nxt += 1
                 yield cur
 
     # -- epoch loops -------------------------------------------------------
@@ -390,19 +440,24 @@ class Engine:
         if order is None:
             order = self._order_rng.permutation(len(dataset))
         batches = self._batched_order(dataset, order)
-        total_loss, count = 0.0, 0
         acc = self.cfg.accumulation_steps
         acc_grads, acc_n = None, 0
+        # Per-step meter vectors stay ON DEVICE (total, logit, aux, ps);
+        # they are fetched in one sync at each log_iter point and at epoch
+        # end -- the reference's per-bag loss.item() sync (main.py:492) and
+        # round-2's per-step float(loss) both throttled the prefetch overlap.
+        meters_dev: List[jnp.ndarray] = []
+        synced: List[np.ndarray] = []
         for bi, (x, mask, labels, spec) in enumerate(
                 self._batch_iter(dataset, batches, True)):
             lr = self.current_lr(epoch, len(batches))
             step_rng = jax.random.fold_in(rng_key, self.global_iter)
             if acc <= 1:
-                state, loss, logit_loss, aux = self._train_step(
+                state, meters = self._train_step(
                     state, x, mask, labels, jnp.float32(lr), step_rng,
                     spec.repr_length)
             else:
-                loss, logit_loss, aux, grads = self._grad_step(
+                meters, grads = self._grad_step(
                     state.params, x, mask, labels, step_rng,
                     spec.repr_length)
                 acc_grads = grads if acc_grads is None else \
@@ -415,10 +470,38 @@ class Engine:
                     state = self._apply_grads(state, acc_grads,
                                               jnp.float32(lr))
                     acc_grads, acc_n = None, 0
-            total_loss += float(loss)
-            count += 1
+            meters_dev.append(meters)
             self.global_iter += 1
-        return state, total_loss / max(count, 1)
+            if self.logger is not None and (
+                    bi % self.cfg.log_iter == 0 or bi == len(batches) - 1):
+                self._log_iteration(meters_dev, synced, bi,
+                                    len(batches), lr)
+        if meters_dev:
+            synced.append(np.asarray(jnp.stack(meters_dev)))
+        all_meters = (np.concatenate(synced) if synced
+                      else np.zeros((0, 4), np.float32))
+        return state, float(all_meters[:, 0].mean()) if len(all_meters) \
+            else 0.0
+
+    def _log_iteration(self, meters_dev, synced, bi, n_batches, lr):
+        """Iteration meters (reference main.py:471-490): epoch-running
+        averages of cls loss, aux loss, patch count, and the current lr,
+        printed and wandb-logged under the fold namespace.  Syncs only the
+        steps since the previous log point."""
+        if meters_dev:
+            synced.append(np.asarray(jnp.stack(meters_dev)))
+            meters_dev.clear()
+        avg = np.concatenate(synced).mean(axis=0)
+        self.logger.print(
+            f"[{bi}/{n_batches - 1}] logit_loss:{avg[1]:.4f}, "
+            f"cls_loss:{avg[2]:.4f},  patch_num:{avg[3]:.1f}, "
+            f"keep_num:{avg[3]:.1f} ")
+        self.logger.log({f"{self.fold}-fold/cls_loss": float(avg[1]),
+                         f"{self.fold}-fold/lr": float(lr),
+                         f"{self.fold}-fold/cl_loss": float(avg[2]),
+                         f"{self.fold}-fold/patch_num": float(avg[3]),
+                         f"{self.fold}-fold/keep_num": float(avg[3])},
+                        commit=False)
 
     def evaluate(self, params, dataset,
                  order: Optional[Sequence[int]] = None):

@@ -112,9 +112,10 @@ def test_train_step_parity():
         bag = jnp.asarray(bags[step % 3])
         label = jnp.asarray([labels[step % 3]], jnp.int32)
         mask = jnp.ones(bag.shape[:2], bool)
-        state, loss, logit_loss, _ = engine._train_step(
+        state, meters = engine._train_step(
             state, bag, mask, label, jnp.float32(2e-4), rng,
             bag.shape[1])
+        loss = meters[0]
         np.testing.assert_allclose(float(loss), outputs["losses"][step],
                                    atol=5e-4,
                                    err_msg=f"loss diverged at step {step}")
@@ -244,10 +245,10 @@ def test_train_long_trajectory_and_auc_parity():
             x = jnp.asarray(bag)[None]
             mask = jnp.ones(x.shape[:2], bool)
             lr = engine.current_lr(epoch, n_train)
-            state, loss, _, _ = engine._train_step(
+            state, meters = engine._train_step(
                 state, x, mask, jnp.asarray([label], jnp.int32),
                 jnp.float32(lr), rng, x.shape[1])
-            losses.append(float(loss))
+            losses.append(float(meters[0]))
         probs, labels, _ = engine.evaluate(state.params, val_set)
         _, auc, _, _, _ = five_scores(labels, probs, sub_typing=False)
         aucs.append(auc)
