@@ -141,7 +141,7 @@ class DTFDSurvivalEngine(SurvivalEngine):
         (Survival/models/DTFD/network.py:231-233); seeded permutation of the
         true instances, pads at the tail (docs/PARITY.md)."""
         rng = np.random.default_rng(self.cfg.seed + 0xD7FD)
-        total, risks, censors, times = 0.0, [], [], []
+        losses_dev, risks_dev, censors, times = [], [], [], []
         for idx in indices:
             _, bag, event, censorship, label = dataset[idx]
             bag = np.asarray(bag)
@@ -153,12 +153,13 @@ class DTFDSurvivalEngine(SurvivalEngine):
                 params, x, mask, jnp.asarray([label], jnp.int32),
                 jnp.asarray([censorship], jnp.float32),
                 jnp.asarray(perm, jnp.int32), spec.repr_length)
-            total += float(loss)
-            risks.append(float(risk[0]))
+            losses_dev.append(loss)
+            risks_dev.append(risk[0])
             censors.append(censorship)
             times.append(event)
+        total, risks = SurvivalEngine._sync_meters(losses_dev, risks_dev)
         c_index = concordance_index_censored(
-            1 - np.asarray(censors), np.asarray(times), np.asarray(risks))
+            1 - np.asarray(censors), np.asarray(times), risks)
         return total / max(len(indices), 1), c_index
 
     def init(self, rng, example_length, input_dim):
@@ -241,7 +242,7 @@ class MHIMSurvivalEngine(SurvivalEngine):
         order = list(indices)
         self._rng.shuffle(order)
         lr = self.epoch_lr(epoch)
-        total, risks, censors, times = 0.0, [], [], []
+        losses_dev, risks_dev, censors, times = [], [], [], []
         for j, idx in enumerate(order):
             _, bag, event, censorship, label = dataset[idx]
             x, mask, spec = self._prep(np.asarray(bag))
@@ -254,12 +255,13 @@ class MHIMSurvivalEngine(SurvivalEngine):
                 jnp.float32(self.mm_sche[i]), spec.repr_length,
                 float(round(float(self.mrh_sche[i]), 4)))
             self._iter += 1
-            total += float(loss)
-            risks.append(float(risk[0]))
+            losses_dev.append(loss)
+            risks_dev.append(risk[0])
             censors.append(censorship)
             times.append(event)
+        total, risks = SurvivalEngine._sync_meters(losses_dev, risks_dev)
         ci = concordance_index_censored(1 - np.asarray(censors),
-                                        np.asarray(times), np.asarray(risks))
+                                        np.asarray(times), risks)
         return state, total / max(len(order), 1), ci
 
     @partial(jax.jit, static_argnames=("self", "length"))
