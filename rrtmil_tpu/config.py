@@ -59,12 +59,14 @@ class InnerAttentionConfig:
     # region-attention kernel (ops/pallas/region_attn.py); 'auto' uses the
     # Pallas kernel on TPU when the config is fusable (1-D 'attn' EPEG or no
     # EPEG, no attention dropout).
-    epeg_fold: bool = True              # fold the (k,1) EPEG conv into q
+    epeg_fold: bool = False             # fold the (k,1) EPEG conv into q
     # before the fused kernel (exact: the query-axis conv commutes with the
     # key matmul, ops/epeg.epeg_fold_q) so the kernel runs its plain
-    # attention path; only affects the fused backend.  Kill switch: setting
-    # RRTMIL_EPEG_FOLD=0 in the environment disables folding even when this
-    # is True — the env var is read at TRACE time (like RRTMIL_PALLAS_RB /
+    # attention path; only affects the fused backend.  Default OFF: the
+    # fold's 15-tap fp32 pass over q costs ~6 ms/step at the flagship
+    # batch-8 shape on v5e, vs ~0.1 ms for the in-kernel VMEM shift-and-add
+    # (round-3 profile, tools/profile_fwd.py).  Env override RRTMIL_EPEG_FOLD
+    # =1/0 wins either way — read at TRACE time (like RRTMIL_PALLAS_RB /
     # RRTMIL_PALLAS_INTERPRET), so it must be set before the first
     # jit-compile of the apply fn to take effect.
     mm_dtype: str = "bfloat16"          # MXU input dtype of the fused

@@ -106,6 +106,24 @@ class Mlp(nn.Module):
         return x
 
 
+class DenseParams(nn.Module):
+    """Parameter shell with nn.Dense's exact tree (kernel (in, out) +
+    optional bias), init, and naming -- used by fused-kernel paths that
+    consume raw weight values instead of running the Dense matmul.
+    Checkpoints are interchangeable with the Dense-based path."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", xavier_normal,
+                            (in_features, self.features))
+        bias = (self.param("bias", zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class InnerAttention(nn.Module):
     """Scaled-dot-product MHSA over one region's tokens, with EPEG
     (reference modules/rmsa.py:56-134).
@@ -126,17 +144,49 @@ class InnerAttention(nn.Module):
         h, hd = cfg.num_heads, cfg.resolved_head_dim
         cdt = jnp.dtype(cfg.compute_dtype)
 
-        qkv = nn.Dense(3 * h * hd, use_bias=cfg.qkv_bias,
-                       kernel_init=xavier_normal, bias_init=zeros,
-                       dtype=cdt, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]          # (B_, h, N, hd)
-
         ep = cfg.epeg
         fusable = ((not ep.enabled or (ep.kind == "attn" and not ep.two_d))
                    and cfg.attn_dropout == 0.0 and not return_attn)
         use_pallas = cfg.backend == "pallas" or (
             cfg.backend == "auto" and fusable and _on_tpu())
+
+        if (use_pallas and fusable
+                and os.environ.get("RRTMIL_FUSED_BLOCK", "1") != "0"):
+            # Fully-fused block kernel: qkv + EPEG attention + out proj in
+            # one pallas_call (ops/pallas/region_block.py) -- no qkv/head
+            # transposes or (R, H, P, hd) operands ever touch HBM.  The
+            # param tree matches the Dense-based path exactly (DenseParams).
+            from ..ops.pallas.region_block import region_block_fused
+            if ep.enabled:
+                kernel = self.param("pe_kernel", xavier_normal,
+                                    (ep.k, 1, 1, h))
+                w = kernel[:, 0, 0, :].T              # (H, k)
+                bias = (self.param("pe_bias", zeros, (h,))
+                        if ep.bias else None)
+            else:
+                w, bias = None, None
+            wqkv, bqkv = DenseParams(3 * h * hd, cfg.qkv_bias,
+                                     name="qkv")(c)
+            wp, bp = DenseParams(cfg.dim, True, name="proj")(h * hd)
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * h * hd,), jnp.float32)
+            w3 = wqkv.reshape(c, 3, h, hd).transpose(1, 2, 0, 3)
+            b3 = bqkv.reshape(3, h, hd)
+            out = region_block_fused(
+                x.astype(cdt),
+                w3[0] * cfg.scale, w3[1], w3[2],
+                b3[0] * cfg.scale, b3[1], b3[2],
+                w, bias, wp.reshape(h, hd, cfg.dim), bp,
+                jnp.dtype(cfg.mm_dtype))
+            out = nn.Dropout(cfg.proj_dropout)(out,
+                                               deterministic=deterministic)
+            return out
+
+        qkv = nn.Dense(3 * h * hd, use_bias=cfg.qkv_bias,
+                       kernel_init=xavier_normal, bias_init=zeros,
+                       dtype=cdt, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]          # (B_, h, N, hd)
 
         if use_pallas and fusable:
             # Fused Pallas path: logits + EPEG conv + softmax + AV in VMEM
@@ -150,8 +200,9 @@ class InnerAttention(nn.Module):
                         if ep.bias else None)
             else:
                 w, bias = None, None
-            if (w is not None and cfg.epeg_fold
-                    and os.environ.get("RRTMIL_EPEG_FOLD", "1") != "0"):
+            fold_env = os.environ.get("RRTMIL_EPEG_FOLD", "")
+            fold = cfg.epeg_fold if fold_env == "" else fold_env != "0"
+            if w is not None and fold:
                 # Fold the EPEG conv into q (exact: the query-axis conv
                 # commutes with the key matmul, ops/epeg.epeg_fold_q) so the
                 # kernel runs its plain kk=0 path; pe_bias is key-constant
@@ -375,6 +426,14 @@ class TransLayer(nn.Module):
 
     cfg: TransLayerConfig
 
+    def _compute_dtype(self):
+        cfg = self.cfg
+        if cfg.attn_mode == "rmsa":
+            return cfg.rmsa.attn.compute_dtype
+        if cfg.attn_mode == "crmsa":
+            return cfg.crmsa.attn.compute_dtype
+        return "float32"
+
     @nn.compact
     def __call__(self, x, mask=None, length: Optional[int] = None,
                  deterministic: bool = True):
@@ -382,6 +441,10 @@ class TransLayer(nn.Module):
         m = None if mask is None else mask[..., None].astype(x.dtype)
 
         z = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        # LayerNorm reduces in fp32; the normalized stream is written back
+        # in the compute dtype so everything downstream (region partition,
+        # qkv, kernel DMA) moves half the bytes in bfloat16 mode.
+        z = z.astype(jnp.dtype(self._compute_dtype()))
         if m is not None:
             z = z * m
         if cfg.attn_mode == "rmsa":

@@ -111,7 +111,7 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
     o_ref[:, 0] = jax.lax.dot_general(
         attn.astype(mm_dtype), v.astype(mm_dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _fused_fwd_pallas(q, k, v, w, b, *, scale: float,
@@ -141,13 +141,18 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float,
                           memory_space=pltpu.VMEM)
 
     flops_per = 2 * p * p * hd * 2 + kk * p * p
+    # output DMA in the STREAM dtype (q's): halves the (R, H, P, hd) write +
+    # downstream read in bfloat16 mode, while fp32-stream runs (including
+    # all parity tests) keep bit-exact fp32 outputs.  The AV accumulation
+    # itself is always fp32 regardless.
+    out_dtype = q.dtype
     return pl.pallas_call(
         functools.partial(_kernel, kk=kk, scale=scale, has_bias=has_bias,
                           mm_dtype=mm_dtype),
         grid=(r // rb, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, h, p, hd), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=r * h * flops_per,
             bytes_accessed=4 * r * h * p * hd * 4,

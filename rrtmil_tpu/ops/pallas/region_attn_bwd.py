@@ -76,7 +76,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
     dv_ref[:, 0] = jax.lax.dot_general(
         attn.astype(mm_dtype), g.astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
     # softmax backward
     da = jax.lax.dot_general(
@@ -112,14 +112,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w_ref, b_ref, g_ref,
         dl = dlc
 
     # dq = scale * dL k ; dk = dL^T (q * scale)
-    dq_ref[:, 0] = scale * jax.lax.dot_general(
+    dq_ref[:, 0] = (scale * jax.lax.dot_general(
         dl.astype(mm_dtype), k.astype(mm_dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
     dk_ref[:, 0] = jax.lax.dot_general(
         dl.astype(mm_dtype), (q * scale).astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
@@ -146,10 +146,13 @@ def region_attention_bwd_pallas(q, k, v, w, b, g, *, scale: float,
     b_spec = pl.BlockSpec((h, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
 
+    # dq/dk/dv come back in the primals' dtypes (bf16 halves the DMA in
+    # bfloat16 mode, and custom_vjp requires cotangents matching primal
+    # avals); dw/db stay fp32 like their params.
     out_shapes = (
-        jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),   # dq
-        jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),   # dk
-        jax.ShapeDtypeStruct((r, h, p, hd), jnp.float32),   # dv
+        jax.ShapeDtypeStruct((r, h, p, hd), q.dtype),        # dq
+        jax.ShapeDtypeStruct((r, h, p, hd), k.dtype),        # dk
+        jax.ShapeDtypeStruct((r, h, p, hd), v.dtype),        # dv
         jax.ShapeDtypeStruct((h, max(kk, 1)), jnp.float32),  # dw
         jax.ShapeDtypeStruct((h, 1), jnp.float32),           # db
     )
