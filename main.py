@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fold_start", default=0, type=int)
     parser.add_argument("--cv_fold", default=3, type=int)
     parser.add_argument("--persistence", action="store_true")
+    parser.add_argument("--fold_parallel", action="store_true",
+                        help="train all cv folds simultaneously (vmapped "
+                             "fold axis, sharded across chips when "
+                             "available; harness/fold_parallel.py).  The "
+                             "reference trains folds sequentially "
+                             "(main.py:64-67)")
     parser.add_argument("--same_psize", default=0, type=int)
     parser.add_argument("--tcga_sub", default="nsclc", type=str)
 
@@ -152,8 +158,12 @@ def main():
     print(time.asctime(time.localtime(time.time())))
     from rrtmil_tpu.utils.platform import apply_platform_env
     apply_platform_env()
-    from rrtmil_tpu.harness.classification import run_cv
-    run_cv(args)
+    if getattr(args, "fold_parallel", False):
+        from rrtmil_tpu.harness.fold_parallel import run_cv_fold_parallel
+        run_cv_fold_parallel(args)
+    else:
+        from rrtmil_tpu.harness.classification import run_cv
+        run_cv(args)
 
 
 if __name__ == "__main__":

@@ -61,6 +61,53 @@ def patch_lesion_labels(patch_coords: np.ndarray, polygons) -> np.ndarray:
     return labels.astype(np.int64)
 
 
+def embed_2d(features: np.ndarray, max_points: int = 5000, seed: int = 0):
+    """2-D projection for feature-map plots: exact t-SNE (sklearn) when
+    available, PCA otherwise (the reference uses openTSNE, vis.ipynb cells
+    12-31; not installed here)."""
+    rng = np.random.default_rng(seed)
+    idx = np.arange(len(features))
+    if len(idx) > max_points:
+        idx = rng.choice(idx, max_points, replace=False)
+    x = features[idx].astype(np.float64)
+    try:
+        from sklearn.manifold import TSNE
+        emb = TSNE(n_components=2, init="pca", random_state=seed,
+                   perplexity=min(30.0, max(5.0, len(x) / 100))
+                   ).fit_transform(x)
+    except Exception:
+        x = x - x.mean(0)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        emb = x @ vt[:2].T
+    return emb, idx
+
+
+def feature_maps(model, params, features):
+    """Patch features before/after re-embedding (reference vis.ipynb cells
+    12-31): 'before' = patch embeddings entering the RRT encoder (the
+    1024->512 projection + activation), 'after' = the encoder's re-embedded
+    tokens.  Returns (before (N, 512), after (N, 512))."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from rrtmil_tpu.models.rrt import RRTEncoder
+
+    cfg = model.cfg
+    x = jnp.asarray(features)[None]
+    n = x.shape[1]
+    emb = nn.Dense(512, name="patch_to_emb")
+    h = emb.apply({"params": params["patch_to_emb"]}, x)
+    if cfg.act == "relu":
+        h = jax.nn.relu(h)
+    elif cfg.act == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    enc = RRTEncoder(cfg.encoder)
+    after = enc.apply({"params": params["online_encoder"]}, h,
+                      deterministic=True)
+    return np.asarray(h[0]), np.asarray(after[0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--features", required=True)
@@ -73,6 +120,8 @@ def main():
     ap.add_argument("--out", default="vis_out")
     args = ap.parse_args()
 
+    from rrtmil_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     from rrtmil_tpu.data.datasets import load_feature_file
     from rrtmil_tpu.train.checkpoint import load_params
     import jax
@@ -103,6 +152,20 @@ def main():
     np.savez(os.path.join(args.out, "attention.npz"), **payload)
     print(f"wrote {args.out}/attention.npz "
           f"(attention over {payload['attention'].shape[-1]} patches)")
+
+    # before/after re-embedding feature maps + 2-D embeddings
+    # (reference vis.ipynb cells 12-31)
+    before, after = feature_maps(model, params, features)
+    emb_before, idx = embed_2d(before)
+    emb_after, _ = embed_2d(after[idx] if len(idx) < len(after) else after)
+    fm = {"features_before": before, "features_after": after,
+          "embedding_before": emb_before, "embedding_after": emb_after,
+          "embedding_index": idx}
+    if "patch_labels" in payload:
+        fm["patch_labels"] = payload["patch_labels"]
+    np.savez(os.path.join(args.out, "feature_maps.npz"), **fm)
+    print(f"wrote {args.out}/feature_maps.npz (before/after re-embedding, "
+          f"{len(idx)} points embedded)")
 
 
 if __name__ == "__main__":
