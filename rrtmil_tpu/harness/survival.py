@@ -166,9 +166,10 @@ class DTFDSurvivalEngine(SurvivalEngine):
         spec = bucket_for(example_length, self.encoder_cfg)
         x = jnp.zeros((1, spec.data_length, input_dim), jnp.float32)
         mask = jnp.ones((1, spec.data_length), bool)
-        params = self.model.init({"params": rng, "dropout": rng}, x,
-                                 mask=mask, length=spec.repr_length,
-                                 deterministic=True, train=True)["params"]
+        init_fn = jax.jit(lambda r, x_, m_: self.model.init(
+            {"params": r, "dropout": r}, x_, mask=m_,
+            length=spec.repr_length, deterministic=True, train=True))
+        params = init_fn(rng, x, mask)["params"]
         return TrainState(params=params, opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 

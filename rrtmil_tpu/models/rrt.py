@@ -363,6 +363,32 @@ class CrossRegionAttention(nn.Module):
             x = x.reshape(b, geom.grid, geom.grid, c)
             regions = region_partition(x, rs).reshape(b, nr, p, c)
 
+        use_fused = (not cfg.crmsa_mlp and sp == 1
+                     and (cfg.attn.backend == "pallas"
+                          or (cfg.attn.backend == "auto" and _on_tpu()))
+                     and os.environ.get("RRTMIL_FUSED_CRMSA", "1") != "0")
+        if use_fused:
+            # Fused compress/redistribute kernels (ops/pallas/crmsa_kernels
+            # .py): the token stream is read once for the phi dual-softmax
+            # compression and written once by the redistribute, instead of
+            # streaming through ~5 XLA einsum/softmax passes.  The tiny
+            # cross-region attention in the middle is unchanged.
+            from ..ops.pallas.crmsa_kernels import (crmsa_compress,
+                                                    crmsa_redistribute)
+            phi = self.param("phi", crmsa_phi_init(kk), (c, kk))
+            mmd = jnp.dtype(cfg.attn.mm_dtype)
+            flat = regions.reshape(b * nr, p, c)
+            reps, wgt = crmsa_compress(flat, phi, mmd)
+            reps = reps.reshape(b, nr, kk, c).transpose(0, 2, 1, 3)
+            reps = reps.reshape(b * kk, nr, c)
+            reps = InnerAttention(cfg.attn, name="attn")(
+                reps, deterministic=deterministic)
+            reps = reps.reshape(b, kk, nr, c).transpose(0, 2, 1, 3)
+            reps = reps.reshape(b * nr, kk, c).astype(jnp.float32)
+            out = crmsa_redistribute(wgt, reps, jnp.float32, mmd)
+            out = region_reverse(out, rs, geom.grid, geom.grid)
+            return _fit_length(out, n_in)
+
         # phi logits: (B, nR, k, P) (rmsa.py:304-307)
         if cfg.crmsa_mlp:
             t = nn.Dense(c // 4, use_bias=False, kernel_init=xavier_normal,

@@ -1,0 +1,199 @@
+"""Pallas TPU kernels for CR-MSA's per-region compress / redistribute.
+
+CR-MSA (reference modules/rmsa.py:232-337) touches the full token stream
+twice around a tiny cross-region attention: (1) compress each region to
+crmsa_k representative tokens via the phi-logit dual softmax, (2)
+redistribute the attended representatives back to tokens.  In XLA these are
+einsums + softmaxes that stream the (R, P, C) regions through HBM ~5 times
+(~2.5 ms of the batch-8 flagship forward, tools/profile_fwd.py r3); here
+each side is one pallas_call that reads/writes the stream once.
+
+compress (per region r):
+    logits   = phi^T x_r^T                 (k, P)   (rmsa.py:304-307)
+    combine  = softmax_P(logits)                    (rmsa.py:309)
+    dispatch = softmax_k(logits)                    (rmsa.py:310)
+    mm       = (logits - min_P) / (max_P - min_P + 1e-8)   (rmsa.py:312-314)
+    reps_r   = combine @ x_r               (k, C)   (rmsa.py:316)
+    w_r      = mm * dispatch               (k, P)   (rmsa.py:324 weights)
+
+redistribute (per region r):
+    out_r = w_r^T @ reps_att_r             (P, C)   (rmsa.py:324-325)
+
+The cross-region attention between the two runs on (B*k, nR, C) -- tiny --
+through the regular InnerAttention (itself the fused block kernel on TPU).
+Both ops carry custom_vjps whose backwards differentiate the equivalent
+XLA math (compress/redistribute are cheap relative to R-MSA; fwd fusion is
+what matters).  The crmsa_mlp phi variant keeps the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .region_attn import env_interpret
+
+
+def _pick_rb(r: int, per_region_bytes: int, cap_default: int = 16) -> int:
+    budget = 10 * 1024 * 1024
+    cap = min(cap_default, max(1, budget // max(per_region_bytes, 1)))
+    rb = 1
+    for cand in range(1, min(cap, r) + 1):
+        if r % cand == 0:
+            rb = cand
+    return rb
+
+
+def _compress_kernel(x_ref, phi_ref, reps_ref, w_ref, *, mm_dtype):
+    rb, p, c = x_ref.shape
+    k = phi_ref.shape[0]
+    x = x_ref[...]
+    phi_b = jnp.broadcast_to(phi_ref[...], (rb, k, c))
+    logits = jax.lax.dot_general(
+        phi_b.astype(mm_dtype), x.astype(mm_dtype),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (rb, k, P)
+    combine = jax.nn.softmax(logits, axis=-1)            # over tokens
+    dispatch = jax.nn.softmax(logits, axis=-2)           # over k
+    lmin = jnp.min(logits, axis=-1, keepdims=True)
+    lmax = jnp.max(logits, axis=-1, keepdims=True)
+    mm = (logits - lmin) / (lmax - lmin + 1e-8)
+    reps_ref[...] = jax.lax.dot_general(
+        combine.astype(mm_dtype), x.astype(mm_dtype),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (rb, k, C)
+    w_ref[...] = mm * dispatch
+
+
+def _compress_ref(x, phi, *, mm_dtype):
+    """XLA math (identical): x (R, P, C), phi (C, k)."""
+    mmd = jnp.dtype(mm_dtype)
+    logits = jnp.einsum("rpc,ck->rkp", x.astype(mmd), phi.astype(mmd),
+                        preferred_element_type=jnp.float32)
+    combine = jax.nn.softmax(logits, axis=-1)
+    dispatch = jax.nn.softmax(logits, axis=-2)
+    lmin = jnp.min(logits, axis=-1, keepdims=True)
+    lmax = jnp.max(logits, axis=-1, keepdims=True)
+    mm = (logits - lmin) / (lmax - lmin + 1e-8)
+    reps = jnp.einsum("rkp,rpc->rkc", combine.astype(mmd), x.astype(mmd),
+                      preferred_element_type=jnp.float32)
+    return reps, mm * dispatch
+
+
+def _compress_pallas(x, phi, *, mm_dtype, interpret: Optional[bool] = None):
+    r, p, c = x.shape
+    k = phi.shape[1]
+    phi_t = phi.astype(jnp.float32).T                    # (k, C)
+    rb = _pick_rb(r, p * c * x.dtype.itemsize * 3 + 4 * k * p * 4)
+    if interpret is None:
+        interpret = env_interpret()
+    x_spec = pl.BlockSpec((rb, p, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    phi_spec = pl.BlockSpec((k, c), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((rb, k, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((rb, k, p), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_compress_kernel, mm_dtype=jnp.dtype(mm_dtype)),
+        grid=(r // rb,),
+        in_specs=[x_spec, phi_spec],
+        out_specs=(reps_spec, w_spec),
+        out_shape=(jax.ShapeDtypeStruct((r, k, c), jnp.float32),
+                   jax.ShapeDtypeStruct((r, k, p), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * p * c * 2,
+            bytes_accessed=r * p * c * x.dtype.itemsize,
+            transcendentals=2 * r * k * p),
+        interpret=interpret,
+    )(x, phi_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def crmsa_compress(x, phi, mm_dtype=jnp.bfloat16):
+    """x (R, P, C), phi (C, k) -> (reps (R, k, C), w (R, k, P))."""
+    return _compress_pallas(x, phi, mm_dtype=mm_dtype)
+
+
+def _compress_fwd(x, phi, mm_dtype):
+    return _compress_pallas(x, phi, mm_dtype=mm_dtype), (x, phi)
+
+
+def _compress_bwd(mm_dtype, res, g):
+    x, phi = res
+    _, vjp = jax.vjp(lambda x_, p_: _compress_ref(x_, p_, mm_dtype=mm_dtype),
+                     x, phi)
+    return vjp(g)
+
+
+crmsa_compress.defvjp(_compress_fwd, _compress_bwd)
+
+
+def _redistribute_kernel(w_ref, reps_ref, o_ref, *, mm_dtype):
+    o_ref[...] = jax.lax.dot_general(
+        w_ref[...].astype(mm_dtype), reps_ref[...].astype(mm_dtype),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _redistribute_ref(w, reps, *, mm_dtype, out_dtype):
+    mmd = jnp.dtype(mm_dtype)
+    out = jnp.einsum("rkp,rkc->rpc", w.astype(mmd), reps.astype(mmd),
+                     preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
+
+
+def _redistribute_pallas(w, reps, out_dtype, *, mm_dtype,
+                         interpret: Optional[bool] = None):
+    r, k, p = w.shape
+    c = reps.shape[2]
+    rb = _pick_rb(r, p * c * 4 * 2)
+    if interpret is None:
+        interpret = env_interpret()
+    w_spec = pl.BlockSpec((rb, k, p), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((rb, k, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((rb, p, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_redistribute_kernel,
+                          mm_dtype=jnp.dtype(mm_dtype)),
+        grid=(r // rb,),
+        in_specs=[w_spec, reps_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((r, p, c), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * k * p * c,
+            bytes_accessed=r * p * c * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(w, reps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def crmsa_redistribute(w, reps, out_dtype=jnp.float32,
+                       mm_dtype=jnp.bfloat16):
+    """w (R, k, P), reps (R, k, C) -> out (R, P, C)."""
+    return _redistribute_pallas(w, reps, out_dtype, mm_dtype=mm_dtype)
+
+
+def _redistribute_fwd(w, reps, out_dtype, mm_dtype):
+    return _redistribute_pallas(w, reps, out_dtype, mm_dtype=mm_dtype), \
+        (w, reps)
+
+
+def _redistribute_bwd(out_dtype, mm_dtype, res, g):
+    w, reps = res
+    _, vjp = jax.vjp(
+        lambda w_, r_: _redistribute_ref(w_, r_, mm_dtype=mm_dtype,
+                                         out_dtype=out_dtype), w, reps)
+    return vjp(g)
+
+
+crmsa_redistribute.defvjp(_redistribute_fwd, _redistribute_bwd)

@@ -49,14 +49,46 @@ def env_interpret() -> bool:
 
 
 def _shift_q(mat, d: int):
-    """(RB, P, P) shifted by d along the query axis (1), zero-filled."""
+    """(RB, P, P) shifted by d along the query axis (1), zero-filled.
+
+    |d| >= P (EPEG taps reaching past a small region, e.g. P=4 tokens with
+    epeg_k=15) contributes only conv zero-padding: all zeros."""
     if d == 0:
         return mat
     rb, p, _ = mat.shape
+    if abs(d) >= p:
+        return jnp.zeros_like(mat)
     zeros = jnp.zeros((rb, abs(d), p), jnp.float32)
     if d < 0:
         return jnp.concatenate([zeros, mat[:, : p + d]], axis=1)
     return jnp.concatenate([mat[:, d:], zeros], axis=1)
+
+
+def build_epeg_toeplitz(pw, p: int):
+    """M_h = I + T_h: the (k,1) query-axis EPEG conv as a banded Toeplitz
+    matrix per head (tap t of pe[i] reads logit row i + t - k//2; taps past
+    the region are conv zero-padding, naturally absent from eye(p, k=d)).
+
+    Applying M to q (or to the logit rows) replaces a k-tap unrolled
+    shift-and-add with ONE batched MXU dot -- faster on the VPU-bound tap
+    path AND an order of magnitude less Mosaic code, which matters because
+    the sandbox's remote compiler scales badly with kernel size.
+
+    pw: (H, kk) -> (H, p, p) fp32."""
+    kk = pw.shape[1]
+    pad = kk // 2
+    eyes = jnp.stack([jnp.eye(p, k=t - pad, dtype=jnp.float32)
+                      for t in range(kk)])
+    return jnp.eye(p, dtype=jnp.float32)[None] + jnp.einsum(
+        "hk,kij->hij", pw.astype(jnp.float32), eyes)
+
+
+def build_epeg_eyes(kk: int, p: int):
+    """(kk, p, p) stack of shifted identities E_d, d = t - kk//2 -- the
+    masks extracting each tap's diagonal in dw accumulation."""
+    pad = kk // 2
+    return jnp.stack([jnp.eye(p, k=t - pad, dtype=jnp.float32)
+                      for t in range(kk)])
 
 
 def pick_rb(r: int, p: int, *, c_tiles: int, env: str, default: int) -> int:
@@ -80,9 +112,11 @@ def pick_rb(r: int, p: int, *, c_tiles: int, env: str, default: int) -> int:
     return rb
 
 
-def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
-            has_bias: bool, mm_dtype):
+def _kernel(q_ref, k_ref, v_ref, pm_ref, b_ref, o_ref, *, kk: int,
+            scale: float, has_bias: bool, mm_dtype):
     head = pl.program_id(1)
+    rb = q_ref.shape[0]
+    p = q_ref.shape[2]
     q = q_ref[:, 0]                     # (RB, P, hd)
     k = k_ref[:, 0]
     v = v_ref[:, 0]
@@ -90,19 +124,24 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, b_ref, o_ref, *, kk: int, scale: float,
     # MXU inputs in mm_dtype (bf16 by default: fp32 matmuls take the slow
     # multi-pass MXU path, ~10x slower; accumulation stays fp32, matching
     # XLA's default-precision einsums on TPU)
+    if kk > 0:
+        # EPEG via the Toeplitz form: conv(q k^T) = (M q) k^T
+        # (build_epeg_toeplitz) -- one batched dot, no unrolled taps
+        m_b = jnp.broadcast_to(pm_ref[head], (rb, p, p))
+        q = jax.lax.dot_general(
+            m_b.astype(mm_dtype), (q * scale).astype(mm_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    else:
+        q = q * scale
     logits = jax.lax.dot_general(
-        (q * scale).astype(mm_dtype), k.astype(mm_dtype),
+        q.astype(mm_dtype), k.astype(mm_dtype),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # (RB, P, P)
-
-    if kk > 0:
-        pad = kk // 2
-        pe = jnp.zeros_like(logits)
-        for t in range(kk):                          # k-tap shift-and-add
-            pe = pe + w_ref[head, t] * _shift_q(logits, t - pad)
-        if has_bias:
-            pe = pe + b_ref[head, 0]
-        logits = logits + pe
+    if kk > 0 and has_bias:
+        # pe_bias is key-constant (cancels in the row softmax; zero-grad in
+        # the reference too) but added for bit-parity with the conv form
+        logits = logits + b_ref[head, 0]
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -123,7 +162,8 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float,
     r, h, p, hd = q.shape
     kk = 0 if w is None else w.shape[1]
     has_bias = b is not None
-    w_in = w if w is not None else jnp.zeros((h, 1), jnp.float32)
+    pm_in = (build_epeg_toeplitz(w, p) if w is not None
+             else jnp.zeros((h, 1, 1), jnp.float32))
     b_in = (b if b is not None else jnp.zeros((h,), jnp.float32)).reshape(h, 1)
     if rb is None:
         rb = pick_rb(r, p, c_tiles=12, env="RRTMIL_PALLAS_RB", default=4)
@@ -133,14 +173,14 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float,
 
     qkv_spec = pl.BlockSpec((rb, 1, p, hd), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    # Full (H, kk) weight / (H, 1) bias per program: tiny, and full-array
-    # blocks satisfy the TPU tiling rules where a (1, kk) block would not.
-    w_spec = pl.BlockSpec((h, max(kk, 1)), lambda i, j: (0, 0),
-                          memory_space=pltpu.VMEM)
+    # Full Toeplitz stack / (H, 1) bias per program: constant index maps,
+    # DMA'd once; full-array blocks satisfy the TPU tiling rules.
+    pm_spec = pl.BlockSpec(pm_in.shape, lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((h, 1), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
 
-    flops_per = 2 * p * p * hd * 2 + kk * p * p
+    flops_per = 2 * p * p * hd * 2 + (2 * p * p * hd if kk else 0)
     # output DMA in the STREAM dtype (q's): halves the (R, H, P, hd) write +
     # downstream read in bfloat16 mode, while fp32-stream runs (including
     # all parity tests) keep bit-exact fp32 outputs.  The AV accumulation
@@ -150,7 +190,7 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float,
         functools.partial(_kernel, kk=kk, scale=scale, has_bias=has_bias,
                           mm_dtype=mm_dtype),
         grid=(r // rb, h),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, w_spec, b_spec],
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, pm_spec, b_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((r, h, p, hd), out_dtype),
         cost_estimate=pl.CostEstimate(
@@ -158,7 +198,7 @@ def _fused_fwd_pallas(q, k, v, w, b, *, scale: float,
             bytes_accessed=4 * r * h * p * hd * 4,
             transcendentals=r * h * p * p),
         interpret=interpret,
-    )(q, k, v, w_in, b_in)
+    )(q, k, v, pm_in, b_in)
 
 
 def _fused_fwd_xla(q, k, v, w, b, *, scale: float):

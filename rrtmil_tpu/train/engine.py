@@ -180,9 +180,14 @@ class Engine:
             # aux-loss models (CLAM) create their instance-classifier params
             # only on the labeled path; init must traverse it.
             kwargs["labels"] = jnp.zeros((1,), jnp.int32)
-        variables = self.model.init({"params": rng, "dropout": rng}, x,
-                                    mask=mask, length=spec.repr_length,
-                                    deterministic=True, **kwargs)
+        # jit the init: eager flax init dispatches every op individually,
+        # which on the tunneled TPU means one remote compile per op per new
+        # bucket shape (~20+ min for a fresh shape); one jitted compile is
+        # seconds (round-3 regression hunt).
+        init_fn = jax.jit(lambda r, x_, m_, **kw: self.model.init(
+            {"params": r, "dropout": r}, x_, mask=m_,
+            length=spec.repr_length, deterministic=True, **kw))
+        variables = init_fn(rng, x, mask, **kwargs)
         params = variables["params"]
         return TrainState(params=params, opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32))

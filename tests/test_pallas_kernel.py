@@ -74,7 +74,9 @@ def test_custom_vjp_gradients():
         g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
     for a, c in zip(g_fused, g_xla):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
+        # 3e-4: the Toeplitz-form dw (diagonal sums of a P^3 matmul)
+        # reassociates the fp32 tap reductions
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-4)
 
 
 @pytest.mark.parametrize("kk", [9, 15, 0])
@@ -150,3 +152,29 @@ def test_inner_attention_fold_matches_unfolded_module(monkeypatch):
     got = m_fold.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5)
+
+
+def test_tiny_region_epeg_taps_exceed_tokens():
+    """P=4 tokens with epeg_k=15: taps reaching past the region contribute
+    only conv zero-padding (torch Conv2d semantics).  Round-3 regression:
+    _shift_q built (P+|d|)-row tensors when |d| >= P, breaking every
+    small-bucket geometry once epeg_fold defaulted off."""
+    q, k, v, w, b = _inputs(r=4, h=2, p=4, hd=8, kk=15)
+    got = _fused_fwd_pallas(q, k, v, w, b, scale=0.125, interpret=True,
+                            mm_dtype=jnp.float32)
+    want = _fused_fwd_xla(q, k, v, w, b, scale=0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+    # backward too
+    from rrtmil_tpu.ops.pallas.region_attn_bwd import (
+        region_attention_bwd_pallas)
+    g = jnp.ones_like(q)
+    dq, dk, dv, dw, db = region_attention_bwd_pallas(
+        q, k, v, w, b, g, scale=0.125, interpret=True,
+        mm_dtype=jnp.float32)
+    def loss(q, k, v, w, b):
+        return _fused_fwd_xla(q, k, v, w, b, scale=0.125).sum()
+    gr = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
+    for a, r in zip((dq, dk, dv, dw, db), gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-4, rtol=5e-4)

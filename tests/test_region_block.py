@@ -139,3 +139,89 @@ def test_inner_attention_block_path_old_kernel_fallback():
     want, params = _module_out(x, "pallas", "0")
     got, _ = _module_out(x, "pallas", "1", params=params)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# CR-MSA compress / redistribute kernels (ops/pallas/crmsa_kernels.py)
+# ---------------------------------------------------------------------------
+
+def test_crmsa_kernels_match_ref():
+    from rrtmil_tpu.ops.pallas.crmsa_kernels import (
+        _compress_pallas, _compress_ref, _redistribute_pallas,
+        _redistribute_ref)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 144, 512), jnp.float32)
+    phi = jax.random.normal(jax.random.fold_in(key, 1), (512, 3)) * 0.1
+    reps, w = _compress_pallas(x, phi, mm_dtype=jnp.float32, interpret=True)
+    reps_r, w_r = _compress_ref(x, phi, mm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(reps), np.asarray(reps_r),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_r),
+                               atol=2e-5, rtol=1e-5)
+    out = _redistribute_pallas(w, reps, jnp.float32, mm_dtype=jnp.float32,
+                               interpret=True)
+    out_r = _redistribute_ref(w_r, reps_r, mm_dtype=jnp.float32,
+                              out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_crmsa_kernel_gradients():
+    from rrtmil_tpu.ops.pallas.crmsa_kernels import (
+        _compress_ref, _redistribute_ref, crmsa_compress,
+        crmsa_redistribute)
+    os.environ["RRTMIL_PALLAS_INTERPRET"] = "1"
+    try:
+        key = jax.random.PRNGKey(2)
+        x = jax.random.normal(key, (4, 64, 512), jnp.float32)
+        phi = jax.random.normal(jax.random.fold_in(key, 1), (512, 3)) * 0.1
+
+        def loss_fused(x, phi):
+            reps, w = crmsa_compress(x, phi, jnp.float32)
+            return crmsa_redistribute(w, reps, jnp.float32,
+                                      jnp.float32).sum()
+
+        def loss_ref(x, phi):
+            reps, w = _compress_ref(x, phi, mm_dtype=jnp.float32)
+            return _redistribute_ref(w, reps, mm_dtype=jnp.float32,
+                                     out_dtype=jnp.float32).sum()
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(x, phi)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, phi)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-4)
+    finally:
+        del os.environ["RRTMIL_PALLAS_INTERPRET"]
+
+
+def test_crmsa_module_fused_matches_xla():
+    """CrossRegionAttention through the fused kernels must equal the XLA
+    path on the same params (k in {1, 3}, same geometry semantics)."""
+    from rrtmil_tpu.config import CRMSAConfig, RegionConfig
+    from rrtmil_tpu.models.rrt import CrossRegionAttention
+    for kk in (1, 3):
+        cfg = CRMSAConfig(
+            attn=InnerAttentionConfig(dim=512, num_heads=8, backend="xla",
+                                      mm_dtype="float32"),
+            region=RegionConfig(region_num=8), crmsa_k=kk)
+        x = jax.random.normal(jax.random.PRNGKey(kk), (1, 937, 512),
+                              jnp.float32)
+        mod = CrossRegionAttention(cfg)
+        params = mod.init({"params": jax.random.PRNGKey(0)}, x,
+                          length=937, deterministic=True)["params"]
+        want = np.asarray(mod.apply({"params": params}, x, length=937,
+                                    deterministic=True))
+        os.environ["RRTMIL_PALLAS_INTERPRET"] = "1"
+        os.environ["RRTMIL_FUSED_CRMSA"] = "1"
+        try:
+            import dataclasses
+            cfg_p = dataclasses.replace(
+                cfg, attn=dataclasses.replace(cfg.attn, backend="pallas"))
+            got = np.asarray(CrossRegionAttention(cfg_p).apply(
+                {"params": params}, x, length=937, deterministic=True))
+        finally:
+            del os.environ["RRTMIL_PALLAS_INTERPRET"]
+            del os.environ["RRTMIL_FUSED_CRMSA"]
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4,
+                                   err_msg=f"crmsa_k={kk}")

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cpu", action="store_true",
                     help="force 8 virtual CPU devices")
+    ap.add_argument("--out", default="",
+                    help="append results to this JSON file (e.g. "
+                         "SCALING_r03.json)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -99,6 +102,31 @@ def main():
         eff = results[sp] / (results[1] * sp) if 1 in results and sp > 1 else 1.0
         print(json.dumps({"sp": sp, "slides_per_s": round(1.0 / per, 3),
                           "efficiency_vs_sp1": round(eff, 3)}))
+
+    if args.out:
+        payload = {
+            "metric": "seqshard_fwd_slides_per_s_n{}".format(length),
+            "backend": jax.default_backend(),
+            "device_kind": jax.devices()[0].device_kind,
+            "note": ("CPU-mesh numbers exercise the collective program "
+                     "(plumbing check, NOT a hardware perf claim); only "
+                     "one real chip exists in this sandbox, so multi-chip "
+                     "ICI efficiency cannot be measured here"),
+            "results": {str(sp): {
+                "slides_per_s": round(v, 3),
+                "efficiency_vs_sp1": round(
+                    v / (results[1] * sp), 3) if 1 in results else None}
+                for sp, v in results.items()},
+        }
+        import os as _os
+        existing = {}
+        if _os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing[jax.default_backend()] = payload
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -100,19 +100,51 @@ def measure_host_pipeline(batch: int = 8, n_slides: int = 16) -> float:
 
 
 if __name__ == "__main__":
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="",
+                    help="write results JSON (e.g. TRAIN_BENCH_r03.json)")
+    cli = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
+    results = {"metric": "train_step_ms_per_slide_rrtmil_n9k",
+               "device_kind": jax.devices()[0].device_kind,
+               "modes": {}}
     for dt in ("bfloat16", "float32"):
         for b in (1, 8):
             try:
                 ms = measure(b, dt) * 1e3
+                results["modes"][f"{dt}_b{b}"] = {
+                    "ms_per_slide": round(ms, 3),
+                    "slides_per_s": round(1e3 / ms, 1)}
                 print(f"{dt:9s} batch={b}  {ms:7.3f} ms/slide "
                       f"({1e3 / ms:7.1f} slides/s)", flush=True)
             except Exception as e:
+                results["modes"][f"{dt}_b{b}"] = {"error": str(e)[:200]}
                 print(f"{dt:9s} batch={b}  FAILED: {str(e)[:120]}", flush=True)
     try:
         host_s = measure_host_pipeline(batch=8)
+        results["host_pipeline_ms_per_slide"] = round(host_s / 8 * 1e3, 2)
         print(f"host pipeline batch=8: {host_s * 1e3:7.1f} ms/batch "
               f"({host_s / 8 * 1e3:6.2f} ms/slide) -- overlapped by "
               f"engine._batch_iter prefetch", flush=True)
     except Exception as e:
         print(f"host pipeline FAILED: {str(e)[:120]}", flush=True)
+    # train MFU: useful fwd FLOPs x3 (fwd + bwd ~2x) over the bf16 peak
+    try:
+        from rrtmil_tpu.utils.flops import rrtmil_flops
+        macs = rrtmil_flops(N_PATCHES, c16_r50())["total"]
+        best = min(m["ms_per_slide"] for m in results["modes"].values()
+                   if "ms_per_slide" in m)
+        peak = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}.get(
+            results["device_kind"])
+        if peak:
+            results["train_mfu"] = round(
+                (3 * 2 * macs) / (best * 1e-3) / peak, 4)
+    except Exception:
+        pass
+    if cli.out:
+        with open(cli.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {cli.out}", flush=True)
