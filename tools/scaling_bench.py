@@ -65,8 +65,9 @@ def main():
 
         if sp == 1:
             model = RRTMIL(cfg)
-            params = model.init({"params": key}, x, mask=mask, length=length,
-                                deterministic=True)["params"]
+            params = jax.jit(lambda r, x_, m_: model.init(
+                {"params": r}, x_, mask=m_, length=length,
+                deterministic=True))(key, x, mask)["params"]
 
             @jax.jit
             def loop(p, x, m, k):
@@ -78,8 +79,12 @@ def main():
         else:
             mesh = make_mesh(dp=1, sp=sp, devices=jax.devices()[:sp])
             model, fwd, _ = make_seqshard_forward(cfg, mesh, length)
-            params = model.init({"params": key}, x, mask=mask, length=length,
-                                deterministic=True)["params"]
+            # init with an UNSHARDED twin (identical param tree): the
+            # sharded model's collectives are unbound outside shard_map
+            init_model = RRTMIL(cfg)
+            params = jax.jit(lambda r, x_, m_: init_model.init(
+                {"params": r}, x_, mask=m_, length=length,
+                deterministic=True))(key, x, mask)["params"]
 
             def loop(p, x, m, k, fwd=fwd, mesh=mesh):
                 @jax.jit

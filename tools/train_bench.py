@@ -46,7 +46,10 @@ def measure(batch: int, compute_dtype: str) -> float:
     labels = jnp.zeros((batch,), jnp.int32)
     lr = jnp.float32(2e-4)
 
-    def loop(state, k):
+    # x/mask/labels enter as ARGUMENTS: closing over them bakes the batch
+    # into the program as constants, and the sandbox's remote compile
+    # service rejects >~100 MB request bodies (HTTP 413) at batch 8.
+    def loop(state, x, mask, labels, k):
         def body(i, st):
             st, *_ = engine._train_step(
                 st, x + 1e-6 * i, mask, labels, lr,
@@ -54,15 +57,19 @@ def measure(batch: int, compute_dtype: str) -> float:
             return st
         return jax.lax.fori_loop(0, k, body, state)
 
-    run = jax.jit(loop, static_argnums=(1,))
+    run = jax.jit(loop, static_argnums=(4,))
 
     def fetch(st):
         return float(np.asarray(jax.tree.leaves(st.params)[0]).ravel()[0])
 
-    fetch(run(state, 1))                  # compile + warm
-    fetch(run(state, ITERS))
-    t0 = time.perf_counter(); fetch(run(state, 1)); t1 = time.perf_counter()
-    t2 = time.perf_counter(); fetch(run(state, ITERS)); t3 = time.perf_counter()
+    fetch(run(state, x, mask, labels, 1))                  # compile + warm
+    fetch(run(state, x, mask, labels, ITERS))
+    t0 = time.perf_counter()
+    fetch(run(state, x, mask, labels, 1))
+    t1 = time.perf_counter()
+    t2 = time.perf_counter()
+    fetch(run(state, x, mask, labels, ITERS))
+    t3 = time.perf_counter()
     per_step = ((t3 - t2) - (t1 - t0)) / (ITERS - 1)
     return per_step / batch
 
