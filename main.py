@@ -125,8 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--project", default="mil_new_c16", type=str)
     parser.add_argument("--log_iter", default=100, type=int)
     parser.add_argument("--amp", action="store_true",
-                        help="kept for CLI compat; TPU matmuls already run "
-                             "mixed-precision under XLA default precision")
+                        help="bfloat16 activations/matmuls (the TPU analog "
+                             "of the reference's autocast, main.py:101-102;"
+                             " params, norms, softmax, loss stay fp32)")
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--no_log", action="store_true")
     parser.add_argument("--model_path", type=str, default="./output")

@@ -57,6 +57,11 @@ def encoder_config_from_args(args) -> RRTEncoderConfig:
         trans_dim=args.trans_dim,
         pos=PosEmbedConfig(kind=args.pos, k=args.peg_k, conv_1d=args.peg_1d,
                            pos_pos=args.pos_pos),
+        # --amp: the TPU analog of the reference's torch.cuda.amp autocast
+        # (main.py:101-102,706) -- bfloat16 activations/matmuls with fp32
+        # params, LayerNorm reductions, softmax, pooling, and loss
+        compute_dtype="bfloat16" if getattr(args, "amp", False)
+        else "float32",
     )
 
 
@@ -101,7 +106,9 @@ def engine_config_from_args(args) -> EngineConfig:
                                                      False),
         fix_loader_random=getattr(args, "fix_loader_random", False),
         log_iter=getattr(args, "log_iter", 100),
-        num_workers=getattr(args, "num_workers", 1))
+        num_workers=getattr(args, "num_workers", 1),
+        transfer_dtype="bfloat16" if getattr(args, "amp", False)
+        else "float32")
 
 
 def _make_datasets(args, fold, splits):

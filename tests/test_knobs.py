@@ -403,3 +403,15 @@ def test_single_bag_models_forced_to_bs1():
         assert cfg.batch_size == 1, m
     cfg = engine_config_from_args(_args(model="rrtmil", batch_size=8))
     assert cfg.batch_size == 8
+
+
+def test_amp_flag_switches_to_bfloat16():
+    """--amp maps to bfloat16 compute (the TPU analog of the reference's
+    autocast, main.py:101-102); default stays fp32."""
+    from rrtmil_tpu.harness.classification import (encoder_config_from_args,
+                                                   engine_config_from_args)
+    assert encoder_config_from_args(_args()).compute_dtype == "float32"
+    assert engine_config_from_args(_args()).transfer_dtype == "float32"
+    amp = _args(amp=True)
+    assert encoder_config_from_args(amp).compute_dtype == "bfloat16"
+    assert engine_config_from_args(amp).transfer_dtype == "bfloat16"
