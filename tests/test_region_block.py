@@ -225,3 +225,41 @@ def test_crmsa_module_fused_matches_xla():
             del os.environ["RRTMIL_FUSED_CRMSA"]
         np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4,
                                    err_msg=f"crmsa_k={kk}")
+
+
+def test_crmsa_module_fused_batch2_and_heads1():
+    """Fused CR-MSA at batch 2 and with crmsa_heads=1 (hd=512, the
+    nsclc_plip/brca_r50 configs) must match the XLA path."""
+    import dataclasses
+    from rrtmil_tpu.config import CRMSAConfig, RegionConfig
+    from rrtmil_tpu.models.rrt import CrossRegionAttention
+    cfg = CRMSAConfig(
+        attn=InnerAttentionConfig(dim=512, num_heads=1, head_dim=512,
+                                  backend="xla", mm_dtype="float32"),
+        region=RegionConfig(region_num=8), crmsa_k=3)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 500, 512), jnp.float32)
+    mod = CrossRegionAttention(cfg)
+    params = mod.init({"params": jax.random.PRNGKey(0)}, x, length=500,
+                      deterministic=True)["params"]
+    want = np.asarray(mod.apply({"params": params}, x, length=500,
+                                deterministic=True))
+    os.environ["RRTMIL_PALLAS_INTERPRET"] = "1"
+    try:
+        cfg_p = dataclasses.replace(
+            cfg, attn=dataclasses.replace(cfg.attn, backend="pallas"))
+        got = np.asarray(CrossRegionAttention(cfg_p).apply(
+            {"params": params}, x, length=500, deterministic=True))
+    finally:
+        del os.environ["RRTMIL_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_block_path_no_qkv_bias():
+    """qkv_bias=False (--qkv_bias store_false): the fused block path must
+    create the same bias-free tree as nn.Dense and match the XLA path."""
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 100, 512), jnp.float32)
+    want, params = _module_out(x, "xla", "0", cfg_kw={"qkv_bias": False})
+    got, _ = _module_out(x, "pallas", "1", cfg_kw={"qkv_bias": False},
+                         params=params)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    assert "bias" not in params["qkv"]
