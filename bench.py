@@ -125,12 +125,16 @@ def main():
     signal.alarm(560)
     _enable_compile_cache()
 
-    best, rates = 0.0, {}
+    best, rates, errors = 0.0, {}, {}
     # batch 32 OOM-crashes the v5e worker at this shape; sweep to 16
     for b in (1, 4, 8, 16):
         try:
             rate = measure(b)
-        except Exception:
+        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+            # A crashed batch point must be VISIBLE in the JSON (VERDICT r3
+            # weak #6): record the error instead of silently shrinking
+            # rates_by_batch.
+            errors[str(b)] = f"{type(e).__name__}: {str(e)[:200]}"
             continue
         rates[str(b)] = round(rate, 1)
         best = max(best, rate)
@@ -142,6 +146,12 @@ def main():
         "baseline_kind": "a100_eager_ESTIMATE_25_slides_per_s",
         "rates_by_batch": rates,
     }
+    if errors:
+        result["errors_by_batch"] = errors
+    if len(rates) < 2:
+        # a single surviving point cannot support the headline number
+        result["error"] = (f"only {len(rates)}/4 batch points succeeded; "
+                           "value is not trustworthy")
     result.update(_extra_metrics(best))
     print(json.dumps(result))
 

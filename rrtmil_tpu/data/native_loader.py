@@ -66,6 +66,31 @@ def available() -> bool:
     return not _build_failed and _load() is not None
 
 
+_header_cache: dict = {}
+
+
+def header_shape(path: str) -> Optional[Tuple[int, ...]]:
+    """npy header shape via the PUBLIC numpy API (read_array_header_1_0/2_0
+    dispatched on the magic version -- the private _read_array_header used
+    in round 3 could vanish in a numpy rename, silently disabling the
+    native loader everywhere; ADVICE r3).  Results are cached per path so
+    the per-batch eligibility probe costs one file read per dataset, not
+    one per step.  Returns None for unreadable/non-npy files."""
+    cached = _header_cache.get(path)
+    if cached is not None:
+        return cached
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            reader = (np.lib.format.read_array_header_1_0 if version[0] == 1
+                      else np.lib.format.read_array_header_2_0)
+            shape, _, _ = reader(f)
+    except Exception:
+        return None
+    _header_cache[path] = shape
+    return shape
+
+
 def header_shape_is_2d(path: str) -> bool:
     """True when the npy header declares a 2-D (rows, cols) array.
 
@@ -73,13 +98,8 @@ def header_shape_is_2d(path: str) -> bool:
     (1, N, D) bag -- which load_feature_file supports by squeezing -- would
     be read as rows=1 and filled with the first N floats of the payload.
     Callers must reject non-2-D files and fall back to the Python path."""
-    try:
-        with open(path, "rb") as f:
-            version = np.lib.format.read_magic(f)
-            shape, _, _ = np.lib.format._read_array_header(f, version)
-        return len(shape) == 2
-    except Exception:
-        return False
+    shape = header_shape(path)
+    return shape is not None and len(shape) == 2
 
 
 def num_rows(path: str) -> int:

@@ -42,6 +42,8 @@ def make_fold_parallel_step(model, tx: optax.GradientTransformation,
 
     With `mesh` given, the fold axis is sharded over `fold_axis` so each
     chip trains its own fold(s)."""
+    # tx.update is called with lr=lr; accept plain transforms (ADVICE r3).
+    tx = optax.with_extra_args_support(tx)
 
     def one_fold_step(state, x, mask, labels, lr, rng):
         def loss(params):

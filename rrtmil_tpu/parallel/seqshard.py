@@ -179,6 +179,8 @@ def make_seqshard_train_step(model_cfg: RRTMILConfig, mesh: Mesh, length: int,
 
     model, value_and_grad, n_pad = make_seqshard_value_and_grad(
         model_cfg, mesh, length, loss_fn, sp_axis)
+    # tx.update is called with lr=lr; accept plain transforms (ADVICE r3).
+    tx = optax.with_extra_args_support(tx)
 
     def step(state: TrainState, x, mask, labels, lr, rng):
         loss, grads = value_and_grad(state.params, x, mask, labels, rng)

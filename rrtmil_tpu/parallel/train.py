@@ -41,6 +41,9 @@ def make_sharded_train_step(model, tx: optax.GradientTransformation,
     """
     repl = NamedSharding(mesh, P())
     x_s, m_s, l_s = shard_batch_specs(mesh)
+    # step calls tx.update(..., lr=lr); plain GradientTransformations (e.g.
+    # optax.adam()) reject extra kwargs, so normalize here (ADVICE r3).
+    tx = optax.with_extra_args_support(tx)
 
     def step(state: TrainState, x, mask, labels, lr, rng):
         x = jax.lax.with_sharding_constraint(x, x_s)

@@ -1,6 +1,8 @@
 """Helpers for loading golden .npz fixtures produced by tools/make_goldens.py."""
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import subprocess
 import sys
@@ -8,23 +10,99 @@ import sys
 import numpy as np
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+MANIFEST = os.path.join(GOLDEN_DIR, "MANIFEST.json")
 _REFERENCE = "/root/reference"
+
+_verified = False  # hash check runs once per process
+
+
+def sha256_of(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def write_manifest() -> None:
+    """Pin every golden fixture: file -> sha256 (VERDICT r3 missing #3).
+    Called by tools/make_goldens.py at generation time and (trust-on-first-
+    use) by ensure_goldens() for pre-manifest checkouts."""
+    files = sorted(f for f in os.listdir(GOLDEN_DIR)
+                   if f.endswith((".npz", ".npy")))
+    entries = {f: sha256_of(os.path.join(GOLDEN_DIR, f)) for f in files}
+    with open(MANIFEST, "w") as f:
+        json.dump({"generator": "tools/make_goldens.py",
+                   "hash": "sha256", "files": entries}, f, indent=1,
+                  sort_keys=True)
+
+
+def _manifest_mismatches() -> list:
+    """Files whose on-disk hash disagrees with (or is missing from) the
+    manifest.  Files present on disk but absent from the manifest are also
+    reported -- a silently-added fixture is as suspect as a changed one."""
+    with open(MANIFEST) as f:
+        pinned = json.load(f)["files"]
+    bad = []
+    for name, want in pinned.items():
+        path = os.path.join(GOLDEN_DIR, name)
+        if not os.path.exists(path) or sha256_of(path) != want:
+            bad.append(name)
+    for name in os.listdir(GOLDEN_DIR):
+        if name.endswith((".npz", ".npy")) and name not in pinned:
+            bad.append(name)
+    return bad
+
+
+def _regenerate() -> None:
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "make_goldens.py")
+    subprocess.run([sys.executable, tool], check=True)
 
 
 def ensure_goldens():
-    """Generate goldens from the reference checkout if they are missing.
+    """Generate goldens from the reference checkout if missing, and verify
+    the sha256 manifest (once per process) if present.
 
-    The fixtures are ~300 MB of fp32 tensors, so they are not committed; the
-    generator is deterministic (fixed seeds) and runs once per checkout."""
+    The fixtures are ~370 MB of fp32 tensors, so they are not committed; the
+    generator is deterministic (fixed seeds) and runs once per checkout.
+    A hash mismatch means a stale or locally-diverged fixture set -- it is
+    reported loudly and the whole set is regenerated from the reference."""
+    global _verified
     marker = os.path.join(GOLDEN_DIR, "rrtmil_c16r50_l937.npz")
-    if os.path.exists(marker):
+    if not os.path.exists(marker):
+        if not os.path.isdir(_REFERENCE):
+            return False
+        _regenerate()
+        _verified = True
+        return os.path.exists(marker)
+    if _verified:
         return True
-    if not os.path.isdir(_REFERENCE):
-        return False
-    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "tools", "make_goldens.py")
-    subprocess.run([sys.executable, tool], check=True)
-    return os.path.exists(marker)
+    if not os.path.exists(MANIFEST):
+        # pre-manifest checkout: pin the current (test-passing) set now so
+        # any later divergence is detected
+        print("goldens: no MANIFEST.json -- pinning current fixture set",
+              file=sys.stderr)
+        write_manifest()
+        _verified = True
+        return True
+    bad = _manifest_mismatches()
+    if bad:
+        print(f"goldens: MANIFEST MISMATCH for {bad} -- regenerating the "
+              "full fixture set from the reference", file=sys.stderr)
+        if not os.path.isdir(_REFERENCE):
+            raise RuntimeError(
+                f"golden fixtures {bad} fail sha256 verification and no "
+                f"reference checkout exists to regenerate them")
+        _regenerate()
+        still_bad = _manifest_mismatches()
+        if still_bad:
+            raise RuntimeError(
+                f"golden fixtures still fail verification after "
+                f"regeneration: {still_bad}")
+    _verified = True
+    return True
 
 
 def load(name):

@@ -710,11 +710,23 @@ def gen_train_long():
          meta={"num_epochs": num_epochs})
 
 
+def _pin_manifest():
+    """Record file -> sha256 for every fixture (tests/golden_utils verifies
+    this once per process; VERDICT r3 missing #3)."""
+    tests_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests")
+    sys.path.insert(0, tests_dir)
+    import golden_utils
+    golden_utils.write_manifest()
+    print(f"  pinned {golden_utils.MANIFEST}")
+
+
 def main():
     print("Generating goldens from /root/reference (torch CPU)...")
     if len(sys.argv) > 1:          # regenerate selected goldens only
         for name in sys.argv[1:]:
             globals()[f"gen_{name}"]()
+        _pin_manifest()
         print("done.")
         return
     gen_train_steps()
@@ -734,6 +746,7 @@ def main():
     gen_dattention()
     gen_encoder()
     gen_rrtmil()
+    _pin_manifest()
     print("done.")
 
 
