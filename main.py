@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_classes", default=2, type=int)
     parser.add_argument("--batch_size", default=1, type=int)
     parser.add_argument("--num_workers", default=2, type=int)
+    # TPU extensions (no reference analog): HBM-resident bag cache -- bags
+    # transfer to the chip once and later epochs rebuild batches on device
+    # (rrtmil_tpu/data/device_cache.py)
+    parser.add_argument("--device_cache", default="auto", type=str,
+                        choices=["auto", "on", "off"])
+    parser.add_argument("--device_cache_gb", default=6.0, type=float)
     parser.add_argument("--loss", default="ce", type=str)
     parser.add_argument("--opt", default="adam", type=str)
     parser.add_argument("--save_best_model_stage", default=0.0, type=float)
@@ -157,8 +163,10 @@ def main():
     args = postprocess_args(build_parser().parse_args())
     print(args)
     print(time.asctime(time.localtime(time.time())))
-    from rrtmil_tpu.utils.platform import apply_platform_env
+    from rrtmil_tpu.utils.platform import (apply_platform_env,
+                                            enable_compile_cache)
     apply_platform_env()
+    enable_compile_cache()
     if getattr(args, "fold_parallel", False):
         from rrtmil_tpu.harness.fold_parallel import run_cv_fold_parallel
         run_cv_fold_parallel(args)

@@ -100,6 +100,69 @@ inline float half_to_float(uint16_t h) {
   return out;
 }
 
+// fp32 -> bf16 with round-to-nearest-even (ml_dtypes-compatible for
+// finite values; NaNs are quieted rather than rounded into Inf).
+inline uint16_t float_to_bf16(float f) {
+  uint32_t u;
+  memcpy(&u, &f, sizeof(u));
+  if ((u & 0x7f800000u) == 0x7f800000u && (u & 0x007fffffu) != 0)
+    return (uint16_t)((u >> 16) | 0x0040);  // NaN: keep quiet
+  uint32_t rounded = u + 0x7fffu + ((u >> 16) & 1u);
+  return (uint16_t)(rounded >> 16);
+}
+
+// Streaming loader for bf16 output: reads the payload in ~2 MB chunks into
+// a stack staging buffer and converts fp32/fp16 -> bf16 in place, so the
+// (B, rows, cols) output is written once in the transfer dtype and the
+// Python-side numpy astype pass (163 ms/batch single-threaded at the
+// batch-8 flagship shape) disappears entirely.
+bool load_one_bf16(const char* path, uint16_t* out, unsigned char* mask,
+                   long long rows_out, long long cols,
+                   long long* true_rows) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  NpyInfo info;
+  if (!parse_npy_header(f, &info) || info.cols != cols) {
+    fclose(f);
+    return false;
+  }
+  long long n = info.rows < rows_out ? info.rows : rows_out;
+  *true_rows = n;
+  if (fseek(f, (long)info.data_offset, SEEK_SET) != 0) {
+    fclose(f);
+    return false;
+  }
+  const size_t kChunk = 1 << 19;  // elements per read (2 MB fp32)
+  size_t want = (size_t)(n * cols);
+  std::vector<uint32_t> buf(kChunk);
+  size_t done = 0;
+  while (done < want) {
+    size_t take = want - done < kChunk ? want - done : kChunk;
+    if (!info.fp16) {
+      if (fread(buf.data(), sizeof(float), take, f) != take) {
+        fclose(f);
+        return false;
+      }
+      const float* src = reinterpret_cast<const float*>(buf.data());
+      for (size_t i = 0; i < take; ++i) out[done + i] = float_to_bf16(src[i]);
+    } else {
+      uint16_t* half = reinterpret_cast<uint16_t*>(buf.data());
+      if (fread(half, sizeof(uint16_t), take, f) != take) {
+        fclose(f);
+        return false;
+      }
+      for (size_t i = 0; i < take; ++i)
+        out[done + i] = float_to_bf16(half_to_float(half[i]));
+    }
+    done += take;
+  }
+  fclose(f);
+  memset(out + want, 0, (size_t)((rows_out - n) * cols) * sizeof(uint16_t));
+  memset(mask, 1, (size_t)n);
+  memset(mask + n, 0, (size_t)(rows_out - n));
+  return true;
+}
+
 bool load_one(const char* path, float* out, unsigned char* mask,
               long long rows_out, long long cols, long long* true_rows) {
   FILE* f = fopen(path, "rb");
@@ -139,11 +202,12 @@ bool load_one(const char* path, float* out, unsigned char* mask,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-int bag_fill_batch(const char** paths, int n_bags, float* out,
-                   unsigned char* mask, long long rows_out, long long cols,
-                   long long* true_rows, int n_threads) {
+template <typename T, typename LoadFn>
+int fill_batch_impl(const char** paths, int n_bags, T* out,
+                    unsigned char* mask, long long rows_out, long long cols,
+                    long long* true_rows, int n_threads, LoadFn load_fn) {
   std::atomic<int> next(0);
   std::atomic<int> failed(0);
   int workers = n_threads < 1 ? 1 : n_threads;
@@ -153,9 +217,9 @@ int bag_fill_batch(const char** paths, int n_bags, float* out,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n_bags || failed.load() != 0) return;
-      float* dst = out + (long long)i * rows_out * cols;
+      T* dst = out + (long long)i * rows_out * cols;
       unsigned char* mdst = mask + (long long)i * rows_out;
-      if (!load_one(paths[i], dst, mdst, rows_out, cols, &true_rows[i])) {
+      if (!load_fn(paths[i], dst, mdst, rows_out, cols, &true_rows[i])) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         return;
@@ -167,6 +231,28 @@ int bag_fill_batch(const char** paths, int n_bags, float* out,
   for (int t = 0; t < workers; ++t) threads.emplace_back(work);
   for (auto& th : threads) th.join();
   return failed.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+int bag_fill_batch(const char** paths, int n_bags, float* out,
+                   unsigned char* mask, long long rows_out, long long cols,
+                   long long* true_rows, int n_threads) {
+  return fill_batch_impl(paths, n_bags, out, mask, rows_out, cols,
+                         true_rows, n_threads, load_one);
+}
+
+// Same contract, but the batch is emitted as bf16 (uint16 payload): the
+// transfer dtype for --amp training, written directly by the loader
+// threads so no host-side cast pass exists and H2D moves half the bytes.
+int bag_fill_batch_bf16(const char** paths, int n_bags, uint16_t* out,
+                        unsigned char* mask, long long rows_out,
+                        long long cols, long long* true_rows,
+                        int n_threads) {
+  return fill_batch_impl(paths, n_bags, out, mask, rows_out, cols,
+                         true_rows, n_threads, load_one_bf16);
 }
 
 // Single-bag header probe: returns rows (or -1) so the engine can bucket

@@ -18,7 +18,8 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "bag_loader.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libbag_loader.so")
+# versioned: v2 adds bag_fill_batch_bf16; a stale v1 .so must not be loaded
+_LIB = os.path.join(_REPO_ROOT, "native", "libbag_loader_v2.so")
 
 _lib = None
 _build_failed = False
@@ -53,6 +54,13 @@ def _load():
     lib.bag_fill_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+    ]
+    lib.bag_fill_batch_bf16.restype = ctypes.c_int
+    lib.bag_fill_batch_bf16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_ubyte),
         ctypes.c_longlong, ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
     ]
@@ -115,25 +123,41 @@ def num_rows(path: str) -> int:
 
 def fill_batch(paths: Sequence[str], rows_out: int, cols: int,
                n_threads: int = 8, out: Optional[np.ndarray] = None,
+               dtype: str = "float32",
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Load + cast + pad a batch of .npy bags in C++ threads.
 
-    Returns (batch (B, rows_out, cols) float32, mask (B, rows_out) bool,
-    true_rows (B,) int64).  Pass a preallocated `out` of the right shape to
-    amortize the ~100 MB buffer allocation across steps (page-fault cost
-    otherwise dominates warm-cache loads)."""
+    Returns (batch (B, rows_out, cols) in `dtype`, mask (B, rows_out) bool,
+    true_rows (B,) int64).  dtype 'bfloat16' makes the C++ threads emit
+    bf16 directly (round-to-nearest-even) -- the numpy astype pass this
+    replaces was 163 ms/batch single-threaded at the batch-8 flagship
+    shape, ~6x the C++ load itself.  Pass a preallocated `out` of the
+    right shape/dtype to amortize the ~100-300 MB buffer allocation across
+    steps (page-fault cost otherwise dominates warm-cache loads)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unsupported fill_batch dtype {dtype!r}")
     n = len(paths)
-    if out is None or out.shape != (n, rows_out, cols):
-        out = np.empty((n, rows_out, cols), dtype=np.float32)
+    if dtype == "bfloat16":
+        import ml_dtypes
+        np_dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        np_dtype = np.dtype(np.float32)
+    if out is None or out.shape != (n, rows_out, cols) or out.dtype != np_dtype:
+        out = np.empty((n, rows_out, cols), dtype=np_dtype)
     mask = np.empty((n, rows_out), dtype=np.uint8)
     true_rows = np.empty((n,), dtype=np.int64)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    rc = lib.bag_fill_batch(
-        c_paths, n,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    if dtype == "bfloat16":
+        fn = lib.bag_fill_batch_bf16
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    else:
+        fn = lib.bag_fill_batch
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = fn(
+        c_paths, n, ptr,
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         rows_out, cols,
         true_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),

@@ -108,7 +108,10 @@ def engine_config_from_args(args) -> EngineConfig:
         log_iter=getattr(args, "log_iter", 100),
         num_workers=getattr(args, "num_workers", 1),
         transfer_dtype="bfloat16" if getattr(args, "amp", False)
-        else "float32")
+        else "float32",
+        device_cache=getattr(args, "device_cache", "auto"),
+        device_cache_bytes=int(getattr(args, "device_cache_gb", 6.0)
+                               * (1 << 30)))
 
 
 def _make_datasets(args, fold, splits):

@@ -328,7 +328,10 @@ def run_survival_cv(args) -> CVMeter:
         cfg = SurvivalEngineConfig(
             loss=args.loss, opt=args.optimizer.lower(), lr=args.lr,
             weight_decay=args.weight_decay, lr_schedule=args.scheduler,
-            num_epochs=args.num_epoch, seed=args.seed)
+            num_epochs=args.num_epoch, seed=args.seed,
+            device_cache=getattr(args, "device_cache", "auto"),
+            device_cache_bytes=int(getattr(args, "device_cache_gb", 6.0)
+                                   * (1 << 30)))
         engine = make_survival_engine(args.model, model, cfg, enc,
                                       niter_per_ep=len(train_idx),
                                       sp_shards=sp_shards)

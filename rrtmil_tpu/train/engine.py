@@ -28,6 +28,7 @@ TPU-native design:
 from __future__ import annotations
 
 import dataclasses
+import threading
 from functools import partial
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -83,7 +84,7 @@ class EngineConfig:
     log_iter: int = 100  # iteration-meter period (reference main.py:476-490:
     # every log_iter iters and on the last, print/log epoch-running averages
     # of cls loss, aux loss, patch/keep counts, and the current lr).
-    num_workers: int = 1  # host-side batch-assembly workers (the TPU analog
+    num_workers: int = 2  # host-side batch-assembly workers (the TPU analog
     # of torch DataLoader num_workers, reference main.py:640).  0 = fully
     # serial; N>=1 = overlap up to N next-batch assemblies (load + pad +
     # H2D) with the in-flight device step.  Clamped to 1 while host-side
@@ -94,6 +95,15 @@ class EngineConfig:
     # 'bfloat16' with compute_dtype='bfloat16' to halve the per-step
     # transfer (a ~40 MB/step saving at N~9k, often the real train
     # bottleneck on PCIe-attached hosts)
+    device_cache: str = "auto"  # HBM-resident bag cache (data/device_cache
+    # .py): 'on' | 'off' | 'auto' (= on when the default backend is a TPU).
+    # Bags transfer to the chip once, then every later epoch (train AND
+    # eval) rebuilds batches by device-side concatenation at HBM bandwidth
+    # -- the only way a disk-resident epoch can be device-bound when
+    # host->device bandwidth is below bag_bytes/step_time.  Bypassed while
+    # host-side shuffle augmentation or exact-mode padding is active.
+    device_cache_bytes: int = 6 << 30  # HBM budget for cached bags; once
+    # exceeded, later bags stream uncached (hybrid) instead of OOMing.
 
 
 class Engine:
@@ -125,6 +135,10 @@ class Engine:
         # and decoupled from the augmentation stream, else it shares _rng.
         self._order_rng = (np.random.default_rng(7784414403328510413)
                            if cfg.fix_loader_random else self._rng)
+        self._dcache = None                   # DeviceBagCache, lazy
+        self._dcache_lock = threading.Lock()  # prefetch threads race init
+        self._staging = threading.local()     # per-thread host batch buffer
+        self._h2d_pool = None                 # per-slide transfer executor
         if cfg.ds_average and cfg.aux_mode != "logits":
             raise ValueError("ds_average requires a model that returns "
                              "max-instance logits (aux_mode='logits')")
@@ -299,21 +313,102 @@ class Engine:
     # -- batching ----------------------------------------------------------
 
     def _make_batch(self, dataset, indices: Sequence[int], train: bool):
-        # Native C++ fast path: batches over on-disk .npy bags skip the
-        # Python read/cast/pad entirely (data/native_loader.py).  Train
-        # batches qualify too when no host-side augmentation is configured.
+        """Assemble one device batch (x, mask, labels, spec).
+
+        Three tiers:
+          1. device cache hit -- batch rebuilt by device-side concatenation
+             of HBM-resident bags (no host work, no transfer);
+          2. native C++ host assembly (on-disk .npy, no augmentation) --
+             multithreaded load+cast+pad straight into the transfer dtype;
+          3. Python fallback (other formats, augmentation, exact mode).
+        """
+        augmented = train and (self.cfg.patch_shuffle or
+                               self.cfg.group_shuffle)
+        cache = None if (augmented or self.cfg.exact) else self._device_cache()
+        if cache is not None:
+            return self._make_batch_cached(dataset, indices, train, cache)
+        x, mask, labels, spec = self._assemble_host(dataset, indices, train)
+        return (jnp.asarray(x), jnp.asarray(mask), jnp.asarray(labels), spec)
+
+    def _device_cache(self):
+        mode = self.cfg.device_cache
+        if mode == "off":
+            return None
+        if self._dcache is None:
+            if mode == "auto" and jax.default_backend() == "cpu":
+                return None
+            # prefetch workers call this concurrently; without the lock two
+            # threads can each build a cache and one batch's entries vanish
+            with self._dcache_lock:
+                if self._dcache is None:
+                    from ..data.device_cache import DeviceBagCache
+                    self._dcache = DeviceBagCache(
+                        self.cfg.device_cache_bytes)
+        return self._dcache
+
+    def _make_batch_cached(self, dataset, indices, train: bool, cache):
+        entries = {i: cache.get(dataset, i) for i in indices}
+        missing = [i for i in indices if entries[i] is None]
+        if missing:
+            x, mask, labels, spec = self._assemble_host(dataset, missing,
+                                                        train)
+            for i, part in zip(missing,
+                               self._transfer_slides(x, mask, labels)):
+                cache.put(dataset, i, *part, spec)
+                entries[i] = (*part, spec)
+        specs = {e[3].key for e in entries.values()}
+        if len(specs) != 1:
+            # bags batched under a different bucket than they were cached
+            # at -- cannot happen with bucket-grouped batching, but stay
+            # correct if a caller hand-builds a mixed batch
+            x, mask, labels, spec = self._assemble_host(dataset, indices,
+                                                        train)
+            return (jnp.asarray(x), jnp.asarray(mask), jnp.asarray(labels),
+                    spec)
+        spec = entries[indices[0]][3]
+        if len(indices) == 1:
+            x1, m1, l1, _ = entries[indices[0]]
+            return x1, m1, l1, spec
+        return (jnp.concatenate([entries[i][0] for i in indices], axis=0),
+                jnp.concatenate([entries[i][1] for i in indices], axis=0),
+                jnp.concatenate([entries[i][2] for i in indices], axis=0),
+                spec)
+
+    def _transfer_slides(self, x, mask, labels):
+        """Per-slide host->device transfers, concurrently: N parallel
+        streams reach ~2x the single-stream bandwidth on this host, and the
+        per-slide device arrays are exactly what the device cache stores."""
+        b = x.shape[0]
+
+        def one(i):
+            return (jnp.asarray(x[i:i + 1]), jnp.asarray(mask[i:i + 1]),
+                    jnp.asarray(labels[i:i + 1]))
+
+        if b == 1:
+            return [one(0)]
+        if self._h2d_pool is None:
+            with self._dcache_lock:
+                if self._h2d_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._h2d_pool = ThreadPoolExecutor(
+                        max_workers=4, thread_name_prefix="h2d")
+        return list(self._h2d_pool.map(one, range(b)))
+
+    def _assemble_host(self, dataset, indices: Sequence[int], train: bool):
+        """Host-side batch assembly: (x, mask, labels, spec) numpy arrays
+        in the transfer dtype, not yet on device."""
         augmented = train and (self.cfg.patch_shuffle or
                                self.cfg.group_shuffle)
         if (not augmented and not self.cfg.exact
                 and self._can_use_native(dataset, indices)):
-            return self._make_batch_native(dataset, indices)
+            return self._assemble_host_native(dataset, indices)
         bags, labels, lengths = [], [], []
         for i in indices:
             bag, label = dataset[i]
             bag = np.asarray(bag, dtype=np.float32)
             if bag.ndim == 3:
                 bag = bag[0]
-            if train and (self.cfg.patch_shuffle or self.cfg.group_shuffle):
+            if augmented:
                 fn = (augment.patch_shuffle if self.cfg.patch_shuffle
                       else augment.group_shuffle)
                 bag = fn(bag, self.cfg.shuffle_group, self._rng)
@@ -330,8 +425,8 @@ class Engine:
         x_host = np.stack(xs)
         if self.cfg.transfer_dtype != "float32":
             x_host = x_host.astype(self.cfg.transfer_dtype)
-        return (jnp.asarray(x_host), jnp.asarray(np.stack(masks)),
-                jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
+        return (x_host, np.stack(masks),
+                np.asarray(labels, dtype=np.int32), spec)
 
     def _can_use_native(self, dataset, indices) -> bool:
         from ..data import native_loader
@@ -354,7 +449,7 @@ class Engine:
         return all(native_loader.header_shape_is_2d(paths[i])
                    for i in indices)
 
-    def _make_batch_native(self, dataset, indices):
+    def _assemble_host_native(self, dataset, indices):
         from ..data import native_loader
         from ..data.bucketing import bucket_for
         paths = [dataset.slide_path[i] for i in indices]
@@ -362,11 +457,46 @@ class Engine:
         labels = [dataset.slide_label[i] for i in indices]
         spec = bucket_for(max(lengths), self.encoder_cfg)
         cols = native_loader.header_shape(paths[0])[1]
-        x, mask, _ = native_loader.fill_batch(paths, spec.data_length, cols)
-        if self.cfg.transfer_dtype != "float32":
-            x = x.astype(self.cfg.transfer_dtype)
-        return (jnp.asarray(x), jnp.asarray(mask),
-                jnp.asarray(np.asarray(labels, dtype=np.int32)), spec)
+        dtype = self.cfg.transfer_dtype
+        if dtype not in ("float32", "bfloat16"):
+            x, mask, _ = native_loader.fill_batch(paths, spec.data_length,
+                                                  cols, out=self._staging_buf(
+                                                      len(paths),
+                                                      spec.data_length, cols,
+                                                      "float32"))
+            x = x.astype(dtype)
+        else:
+            # the C++ threads emit the transfer dtype directly (bf16 RNE in
+            # native/bag_loader.cpp), so no host cast pass exists
+            x, mask, _ = native_loader.fill_batch(
+                paths, spec.data_length, cols, dtype=dtype,
+                out=self._staging_buf(len(paths), spec.data_length, cols,
+                                      dtype))
+            self._staging_keep(x)
+        return x, mask, np.asarray(labels, dtype=np.int32), spec
+
+    def _staging_buf(self, b: int, rows: int, cols: int, dtype: str):
+        """Reusable per-thread host buffer for native batch assembly
+        (page-fault cost of a fresh ~150-300 MB allocation otherwise
+        dominates warm-cache loads).  Reuse is only safe when jnp.asarray
+        COPIES the host buffer before returning -- true for the TPU path
+        (synchronous PJRT host-buffer upload) but NOT for the CPU backend,
+        which may alias numpy memory zero-copy; there we return None and
+        fill_batch allocates fresh."""
+        if jax.default_backend() == "cpu":
+            return None
+        buf = getattr(self._staging, "buf", None)
+        key = getattr(self._staging, "key", None)
+        if key == (b, rows, cols, dtype):
+            return buf
+        return None
+
+    def _staging_keep(self, x) -> None:
+        if jax.default_backend() == "cpu":
+            return
+        self._staging.buf = x
+        self._staging.key = (x.shape[0], x.shape[1], x.shape[2],
+                             str(x.dtype))
 
     def _batched_order(self, dataset, order: Sequence[int]) -> List[List[int]]:
         """Greedy bucket-aware batching that preserves the given order within

@@ -37,6 +37,13 @@ class SurvivalEngineConfig:
     num_epochs: int = 30
     n_bins: int = 4
     seed: int = 1
+    device_cache: str = "auto"       # HBM-resident bag cache ('auto' = on
+    # when the backend is a TPU); see data/device_cache.py and the
+    # classification EngineConfig.device_cache docstring.  Survival bags
+    # (up to 50k+ patches, ~100-200 MB each) are the strongest case: one
+    # bag transfer costs more than 30 device steps through a slow host
+    # link, and the 30-epoch loop revisits every bag 30 times.
+    device_cache_bytes: int = 6 << 30
 
 
 class SurvivalEngine:
@@ -56,6 +63,39 @@ class SurvivalEngine:
         # (docs/PARITY.md).
         self._plateau = (PlateauLR(cfg.lr)
                          if cfg.lr_schedule == "plateau" else None)
+        self._dcache = None
+
+    def _device_cache(self):
+        if self.cfg.device_cache == "off":
+            return None
+        if self._dcache is None:
+            if (self.cfg.device_cache == "auto"
+                    and jax.default_backend() == "cpu"):
+                return None
+            from ..data.device_cache import DeviceBagCache
+            self._dcache = DeviceBagCache(self.cfg.device_cache_bytes)
+        return self._dcache
+
+    def _prep_indexed(self, dataset, idx: int):
+        """(x, mask, spec, event, censorship, label) for one bag, serving
+        x/mask from the device cache when possible (metadata comes from the
+        dataset's column arrays, so a cache hit skips the disk read and the
+        host->device transfer entirely)."""
+        event = float(dataset.events[idx])
+        censorship = int(dataset.censorship[idx])
+        label = int(dataset.labels[idx])
+        cache = self._device_cache()
+        if cache is not None:
+            hit = cache.get(dataset, idx)
+            if hit is not None:
+                x, mask, _, spec = hit
+                return x, mask, spec, event, censorship, label
+        bag = np.asarray(dataset[idx][1])
+        x, mask, spec = self._prep(bag)
+        if cache is not None:
+            cache.put(dataset, idx, x, mask,
+                      jnp.asarray([label], jnp.int32), spec)
+        return x, mask, spec, event, censorship, label
 
     def epoch_lr(self, epoch: int) -> float:
         """LR for this epoch: survival scheduler zoo semantics
@@ -120,8 +160,8 @@ class SurvivalEngine:
         # VERDICT r2 weak #7)
         losses_dev, risks_dev, censors, times = [], [], [], []
         for j, idx in enumerate(order):
-            _, bag, event, censorship, label = dataset[idx]
-            x, mask, spec = self._prep(np.asarray(bag))
+            x, mask, spec, event, censorship, label = self._prep_indexed(
+                dataset, idx)
             state, loss, risk = self._train_step(
                 state, x, mask, jnp.asarray([label], jnp.int32),
                 jnp.asarray([censorship], jnp.float32), jnp.float32(lr),
@@ -146,8 +186,8 @@ class SurvivalEngine:
     def validate(self, params, dataset, indices: Sequence[int]):
         losses_dev, risks_dev, censors, times = [], [], [], []
         for idx in indices:
-            _, bag, event, censorship, label = dataset[idx]
-            x, mask, spec = self._prep(np.asarray(bag))
+            x, mask, spec, event, censorship, label = self._prep_indexed(
+                dataset, idx)
             loss, risk = self._eval_step(
                 params, x, mask, jnp.asarray([label], jnp.int32),
                 jnp.asarray([censorship], jnp.float32), spec.repr_length)

@@ -39,6 +39,10 @@ def parse_args(argv=None):
     parser.add_argument("--epeg_k", type=int, default=15)
     parser.add_argument("--crmsa_k", type=int, default=3)
     parser.add_argument("--no_log", action="store_true")
+    # TPU extension: HBM-resident bag cache (data/device_cache.py)
+    parser.add_argument("--device_cache", default="auto", type=str,
+                        choices=["auto", "on", "off"])
+    parser.add_argument("--device_cache_gb", default=6.0, type=float)
     parser.add_argument("--results_dir", type=str, default=None)
     parser.add_argument("--sp_shards", type=int, default=1,
                         help="sequence-parallel shards for long bags "
@@ -62,8 +66,10 @@ def parse_args(argv=None):
 def main():
     args = parse_args()
     print(args)
-    from rrtmil_tpu.utils.platform import apply_platform_env
+    from rrtmil_tpu.utils.platform import (apply_platform_env,
+                                            enable_compile_cache)
     apply_platform_env()
+    enable_compile_cache()
     from rrtmil_tpu.harness.survival import run_survival_cv
     run_survival_cv(args)
     print("finished!")

@@ -415,3 +415,47 @@ def test_amp_flag_switches_to_bfloat16():
     amp = _args(amp=True)
     assert encoder_config_from_args(amp).compute_dtype == "bfloat16"
     assert engine_config_from_args(amp).transfer_dtype == "bfloat16"
+
+
+def test_native_loader_bf16_matches_ml_dtypes(tmp_path):
+    """The C++ bf16 emission (bag_fill_batch_bf16) must round exactly like
+    numpy/ml_dtypes (round-to-nearest-even), including inf and subnormals,
+    for both fp32 and fp16 payloads."""
+    import ml_dtypes
+    from rrtmil_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(0)
+    a32 = (rng.standard_normal((257, 32)) * 10.0 ** rng.integers(
+        -30, 30, (257, 32))).astype(np.float32)
+    a32[0, :4] = [np.inf, -np.inf, 0.0, -0.0]
+    a32[1, :2] = [1e-40, 3.3895314e38]     # subnormal; rounds up to inf
+    a16 = rng.standard_normal((100, 32)).astype(np.float16)
+    p32, p16 = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+    np.save(p32, a32)
+    np.save(p16, a16)
+    x, mask, rows = native_loader.fill_batch([p32, p16], 300, 32,
+                                             dtype="bfloat16")
+    assert x.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        x[0, :257].view(np.uint16), a32.astype(ml_dtypes.bfloat16).view(
+            np.uint16))
+    np.testing.assert_array_equal(
+        x[1, :100].view(np.uint16),
+        a16.astype(np.float32).astype(ml_dtypes.bfloat16).view(np.uint16))
+    assert (x[0, 257:].view(np.uint16) == 0).all()
+    assert mask[1, :100].all() and not mask[1, 100:].any()
+    assert rows.tolist() == [257, 100]
+
+
+def test_native_loader_bf16_quiets_nan(tmp_path):
+    import ml_dtypes
+    from rrtmil_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    a = np.zeros((4, 8), np.float32)
+    a[0, 0] = np.nan
+    p = str(tmp_path / "n.npy")
+    np.save(p, a)
+    x, _, _ = native_loader.fill_batch([p], 4, 8, dtype="bfloat16")
+    assert np.isnan(x[0, 0, 0].astype(np.float32))

@@ -17,7 +17,7 @@ import numpy as np
 cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 from rrtmil_tpu.config import c16_r50
 from rrtmil_tpu.data.bucketing import bucket_for
@@ -74,36 +74,144 @@ def measure(batch: int, compute_dtype: str) -> float:
     return per_step / batch
 
 
-def measure_host_pipeline(batch: int = 8, n_slides: int = 16) -> float:
-    """Host-side batch assembly time (native C++ load + pad + cast) per
-    batch over an on-disk .npy dataset — the overlap budget: the prefetch
-    thread (engine._batch_iter) hides this behind the device step, so the
-    pipeline is device-bound iff this is below the device step time."""
+def _disk_dataset(n_slides: int, input_dim: int, seed: int = 0):
     import tempfile
 
     from rrtmil_tpu.data.datasets import C16Dataset
 
-    cfg = c16_r50()
-    engine = Engine(RRTMIL(cfg), EngineConfig(batch_size=batch),
-                    encoder_cfg=cfg.encoder)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     tmp = tempfile.mkdtemp(prefix="train_bench_")
     os.makedirs(os.path.join(tmp, "pt"), exist_ok=True)
     names = []
     for i in range(n_slides):
         np.save(os.path.join(tmp, "pt", f"s{i}.npy"),
-                rng.standard_normal((N_PATCHES, cfg.input_dim),
+                rng.standard_normal((N_PATCHES, input_dim),
                                     ).astype(np.float32))
         names.append(f"s{i}")
-    ds = C16Dataset(names, [i % 2 for i in range(n_slides)], tmp)
+    return C16Dataset(names, [i % 2 for i in range(n_slides)], tmp)
+
+
+def measure_host_pipeline(batch: int = 8, n_slides: int = 16) -> dict:
+    """Cold-path costs per batch over an on-disk .npy dataset, split into
+    (a) host assembly (native C++ load + bf16 cast + pad into a reused
+    staging buffer), (b) host-blocking transfer DISPATCH (staging copy --
+    what the prefetch thread occupies), and (c) transfer COMPLETION, timed
+    by forcing a device consumer and fetching a scalar: on this sandbox's
+    tunneled chip block_until_ready returns before the wire transfer
+    finishes, so dispatch-only timings understate H2D by ~50x (measured
+    ~25 MB/s completed vs ~1.5 GB/s apparent).  (d) is the warm
+    device-cache batch rebuild (device-side concat of HBM-resident bags)
+    timed the same to-completion way -- the steady-state cost that
+    replaces (a)+(b)+(c) after a bag's first epoch."""
+    cfg = c16_r50()
+    engine = Engine(RRTMIL(cfg),
+                    EngineConfig(batch_size=batch,
+                                 transfer_dtype="bfloat16",
+                                 device_cache="off"),
+                    encoder_cfg=cfg.encoder)
+    ds = _disk_dataset(n_slides, cfg.input_dim)
     idx = list(range(batch))
-    engine._make_batch(ds, idx, True)     # warm page cache / lib load
-    best = float("inf")
-    for _ in range(5):
+
+    @jax.jit
+    def consume(x):
+        return x.astype(jnp.float32).sum()
+
+    def complete(x):
+        return float(np.asarray(consume(x)))
+
+    def best_of(fn, n=4):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    engine._assemble_host(ds, idx, True)      # warm page cache / lib load
+    t_asm = best_of(lambda: engine._assemble_host(ds, idx, True))
+    x, mask, labels, spec = engine._assemble_host(ds, idx, True)
+    complete(jnp.zeros((batch, x.shape[1], x.shape[2]), x.dtype))  # warm jit
+
+    t_disp = best_of(lambda: engine._transfer_slides(x, mask, labels))
+
+    def transfer_complete():
+        parts = engine._transfer_slides(x, mask, labels)
+        complete(jnp.concatenate([p[0] for p in parts], axis=0))
+
+    t_full = best_of(transfer_complete, n=3)
+
+    cached = Engine(RRTMIL(cfg),
+                    EngineConfig(batch_size=batch,
+                                 transfer_dtype="bfloat16",
+                                 device_cache="on"),
+                    encoder_cfg=cfg.encoder)
+    cached._make_batch(ds, idx, True)         # populate the device cache
+
+    def warm_complete():
+        xb, mb, lb, _ = cached._make_batch(ds, idx, True)
+        complete(xb)
+
+    warm_complete()
+    t_warm = best_of(warm_complete)
+    bag_mb = x.nbytes / batch / 1e6
+    return {
+        "host_assemble_ms_per_slide": round(t_asm / batch * 1e3, 2),
+        "h2d_dispatch_ms_per_slide": round(t_disp / batch * 1e3, 2),
+        "h2d_completed_ms_per_slide": round(t_full / batch * 1e3, 1),
+        "h2d_completed_mb_per_s": round(x.nbytes / t_full / 1e6, 1),
+        "bag_mb_bf16": round(bag_mb, 1),
+        "warm_cached_batch_ms_per_slide": round(t_warm / batch * 1e3, 3),
+        "note": ("h2d_completed is the tunnel-attached sandbox's wire "
+                 "bandwidth, not host work; a PCIe-attached host moves "
+                 "the same bag ~100x faster.  The device cache removes "
+                 "this cost entirely after each bag's first epoch."),
+    }
+
+
+def measure_end_to_end(batch: int = 8, n_slides: int = 32,
+                       epochs: int = 4) -> dict:
+    """Disk -> device -> train-step epochs with the production engine
+    (bf16 transfer + compute, device cache on, prefetch workers): epoch 0
+    pays the one-time transfer of every bag; later epochs rebuild batches
+    from HBM and should run at the device-only rate."""
+    cfg = c16_r50()
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder,
+                                         compute_dtype="bfloat16"))
+    engine = Engine(RRTMIL(cfg),
+                    EngineConfig(batch_size=batch,
+                                 transfer_dtype="bfloat16",
+                                 device_cache="on", num_workers=2),
+                    encoder_cfg=cfg.encoder)
+    ds = _disk_dataset(n_slides, cfg.input_dim)
+    key = jax.random.PRNGKey(0)
+    state = engine.init(key, N_PATCHES, cfg.input_dim)
+    # Warm every program in the epoch path (train step, batch concats,
+    # meter stack) on a same-shape throwaway dataset first: through this
+    # sandbox's tunnel the FIRST execution of each compiled program costs
+    # seconds (program upload), which would otherwise be billed to the
+    # timed epoch 0.  Epoch 0 below then measures the real one-time cost
+    # of a cold epoch: disk read + bf16 cast + host->device transfer.
+    warm_ds = _disk_dataset(n_slides, cfg.input_dim, seed=123)
+    warm_state = jax.tree.map(jnp.copy, state)
+    engine.train_epoch(warm_state, warm_ds, 0, jax.random.fold_in(key, 99))
+    del warm_state
+    if engine._dcache is not None:
+        engine._dcache.drop_dataset(warm_ds)  # free the warmup bags' HBM
+    rates = []
+    for epoch in range(epochs):
         t0 = time.perf_counter()
-        engine._make_batch(ds, idx, True)
-        best = min(best, time.perf_counter() - t0)
-    return best
+        state, _ = engine.train_epoch(state, ds, epoch,
+                                      jax.random.fold_in(key, epoch))
+        rates.append(n_slides / (time.perf_counter() - t0))
+    return {
+        "n_slides": n_slides,
+        "epoch0_slides_per_s": round(rates[0], 1),
+        # epoch 1 still compiles nothing new but may top up the cache;
+        # steady state is the best of the later epochs
+        "warm_epoch_slides_per_s": round(max(rates[1:]), 1),
+        "epoch_rates": [round(r, 1) for r in rates],
+    }
 
 
 if __name__ == "__main__":
@@ -131,13 +239,31 @@ if __name__ == "__main__":
                 results["modes"][f"{dt}_b{b}"] = {"error": str(e)[:200]}
                 print(f"{dt:9s} batch={b}  FAILED: {str(e)[:120]}", flush=True)
     try:
-        host_s = measure_host_pipeline(batch=8)
-        results["host_pipeline_ms_per_slide"] = round(host_s / 8 * 1e3, 2)
-        print(f"host pipeline batch=8: {host_s * 1e3:7.1f} ms/batch "
-              f"({host_s / 8 * 1e3:6.2f} ms/slide) -- overlapped by "
-              f"engine._batch_iter prefetch", flush=True)
+        host = measure_host_pipeline(batch=8)
+        results.update(host)
+        print("host pipeline batch=8 (per slide): "
+              f"assemble {host['host_assemble_ms_per_slide']} ms, "
+              f"h2d dispatch {host['h2d_dispatch_ms_per_slide']} ms, "
+              f"h2d completed {host['h2d_completed_ms_per_slide']} ms "
+              f"({host['h2d_completed_mb_per_s']} MB/s wire); warm cached "
+              f"rebuild {host['warm_cached_batch_ms_per_slide']} ms",
+              flush=True)
     except Exception as e:
+        results["host_pipeline_error"] = str(e)[:200]
         print(f"host pipeline FAILED: {str(e)[:120]}", flush=True)
+    try:
+        e2e = measure_end_to_end(batch=8)
+        results["end_to_end_b8"] = e2e
+        dev = results["modes"].get("bfloat16_b8", {}).get("slides_per_s")
+        if dev:
+            e2e["warm_vs_device_only"] = round(
+                e2e["warm_epoch_slides_per_s"] / dev, 3)
+        print(f"end-to-end epochs (disk->step, b8): {e2e['epoch_rates']} "
+              "slides/s (epoch 0 pays the one-time bag transfer; later "
+              "epochs serve bags from the device cache)", flush=True)
+    except Exception as e:
+        results["end_to_end_error"] = str(e)[:200]
+        print(f"end-to-end FAILED: {str(e)[:120]}", flush=True)
     # train MFU: useful fwd FLOPs x3 (fwd + bwd ~2x) over the bf16 peak
     try:
         from rrtmil_tpu.utils.flops import rrtmil_flops

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 from rrtmil_tpu.ops.pallas.region_attn import _fused_fwd_pallas
 from rrtmil_tpu.ops.pallas.region_attn_bwd import region_attention_bwd_pallas
