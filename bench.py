@@ -92,8 +92,14 @@ def measure(batch: int, ks=(1, 25, 100), repeats: int = 3) -> float:
 
     @jax.jit
     def fwd_loop(p, x, m, k):
+        # iteration i+1's input depends on iteration i's OUTPUT (the
+        # 0*acc term): without it the loop iterations are independent and
+        # the TPU pipelines them inside the one program, inflating small-
+        # batch rates ~20% -- an overlap a real serving path (one dispatch
+        # per batch, programs execute serially) can never get.
         def body(i, acc):
-            out = model.apply({"params": p}, x + 1e-6 * i, mask=m,
+            out = model.apply({"params": p},
+                              x + (1e-6 * i + 0.0 * acc), mask=m,
                               length=spec.repr_length, deterministic=True)
             return acc + out.sum()
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))

@@ -380,3 +380,151 @@ def run_survival_cv(args) -> CVMeter:
 
     meter.save(os.path.join(results_dir, f"results_{args.model}.csv"))
     return meter
+
+
+def run_survival_fold_parallel(args, folds=None) -> CVMeter:
+    """All-folds-at-once survival CV (TPU extension; the reference's fold
+    loop, Survival/main.py:16-166, is sequential).
+
+    The fold axis is vmapped through parallel/folds.py's
+    make_fold_parallel_surv_step -- on a multi-chip mesh the stacked fold
+    states shard across chips with zero cross-fold communication.
+    Semantics mirror harness/fold_parallel.py's classification variant:
+
+    * all folds step on one bucket per iteration (bags padded to the
+      largest bucket among the K bags of that step; with equal-length bags
+      buckets coincide and the trajectories reproduce the sequential
+      harness exactly -- tests/test_fold_parallel.py);
+    * ragged epoch tails run sequentially through the per-fold engines;
+    * the plateau scheduler decays each fold's lr on its own val loss
+      (lr enters the vmapped step as a (K,) vector);
+    * DTFD / MHIM / --sp_shards protocols are out of scope (asserted).
+    """
+    from ..parallel.folds import (make_fold_parallel_surv_step, stack_states,
+                                  unstack_states)
+
+    assert int(getattr(args, "sp_shards", 1) or 1) == 1, \
+        "--fold_parallel is incompatible with --sp_shards"
+    name_l = args.model.lower().replace("-mil", "").replace("_mil", "")
+    assert name_l not in ("dtfd", "mhim"), \
+        "--fold_parallel supports the SurvivalEngine zoo only"
+    folds = list(folds if folds is not None else range(5))
+    k_folds = len(folds)
+    n_features = getattr(args, "input_dim", None) or \
+        (512 if args.folder == "plip" else 1024)
+    dataset = SurvivalDataset(args.excel_file, folder=args.folder,
+                              root=getattr(args, "dataset_root", None))
+    logger = Logger(quiet=getattr(args, "no_log", False))
+    results_dir = args.results_dir
+    os.makedirs(results_dir, exist_ok=True)
+    meter = CVMeter(fold=k_folds)
+
+    model, enc = build_survival_model(args.model, n_features, n_classes=4,
+                                      epeg_k=args.epeg_k,
+                                      crmsa_k=args.crmsa_k)
+    cfg = SurvivalEngineConfig(
+        loss=args.loss, opt=args.optimizer.lower(), lr=args.lr,
+        weight_decay=args.weight_decay, lr_schedule=args.scheduler,
+        num_epochs=args.num_epoch, seed=args.seed,
+        device_cache=getattr(args, "device_cache", "auto"),
+        device_cache_bytes=int(getattr(args, "device_cache_gb", 6.0)
+                               * (1 << 30)))
+    engines = [SurvivalEngine(model, cfg, enc) for _ in folds]
+    splits = [dataset.get_split(f) for f in folds]
+    states = []
+    for k, (tr, _) in enumerate(splits):
+        example_len = np.asarray(dataset[tr[0]][1]).shape[0]
+        states.append(engines[k].init(jax.random.PRNGKey(args.seed),
+                                      example_len, n_features))
+    stacked = stack_states(states)
+    tx = engines[0].tx
+    loss_fn = engines[0]._loss
+    step_cache = {}
+
+    def pstep(length: int):
+        if length not in step_cache:
+            step_cache[length] = make_fold_parallel_surv_step(
+                model, tx, loss_fn, length)
+        return step_cache[length]
+
+    best_score = [0.0] * k_folds
+    best_epoch = [0] * k_folds
+    key = jax.random.PRNGKey(cfg.seed)
+    iters = [0] * k_folds
+    for epoch in range(cfg.num_epochs):
+        orders = []
+        for k in range(k_folds):
+            order = list(splits[k][0])
+            engines[k]._rng.shuffle(order)
+            orders.append(order)
+        lrs = np.asarray([engines[k].epoch_lr(epoch)
+                          for k in range(k_folds)], np.float32)
+        t_par = min(len(o) for o in orders)
+        ep_key = jax.random.fold_in(key, epoch)
+        losses_dev = []
+        for t in range(t_par):
+            bags, labels, censors, lengths = [], [], [], []
+            for k in range(k_folds):
+                idx = orders[k][t]
+                bags.append(np.asarray(dataset[idx][1], np.float32))
+                labels.append(int(dataset.labels[idx]))
+                censors.append(int(dataset.censorship[idx]))
+                lengths.append(bags[-1].shape[0])
+            spec = bucket_for(max(lengths), enc)
+            xs, ms = zip(*[pad_bag(b, spec.data_length) for b in bags])
+            x = jnp.asarray(np.stack(xs))[:, None]           # (K, 1, N, C)
+            m = jnp.asarray(np.stack(ms))[:, None]
+            y = jnp.asarray(np.asarray(labels, np.int32))[:, None]
+            c = jnp.asarray(np.asarray(censors, np.float32))[:, None]
+            # every fold's sequential run draws the same dropout stream
+            # (learning() keys on cfg.seed), so the stacked rngs replicate
+            # fold_in(fold_in(key, epoch), iteration)
+            rngs = jnp.stack([jax.random.fold_in(ep_key, iters[k])
+                              for k in range(k_folds)])
+            stacked, losses, _ = pstep(spec.repr_length)(
+                stacked, x, m, y, c, jnp.asarray(lrs), rngs)
+            losses_dev.append(losses)
+            for k in range(k_folds):
+                iters[k] += 1
+
+        if any(len(o) > t_par for o in orders):
+            states = unstack_states(stacked, k_folds)
+            for k in range(k_folds):
+                for t in range(t_par, len(orders[k])):
+                    xk, mk, spec, _, cen, lab = engines[k]._prep_indexed(
+                        dataset, orders[k][t])
+                    states[k], _, _ = engines[k]._train_step(
+                        states[k], xk, mk, jnp.asarray([lab], jnp.int32),
+                        jnp.asarray([cen], jnp.float32),
+                        jnp.float32(lrs[k]),
+                        jax.random.fold_in(ep_key, iters[k]),
+                        spec.repr_length)
+                    iters[k] += 1
+            stacked = stack_states(states)
+
+        states = unstack_states(stacked, k_folds)
+        tr_loss = (float(np.asarray(jnp.stack(losses_dev)).mean())
+                   if losses_dev else 0.0)
+        msgs = []
+        for k in range(k_folds):
+            val_loss, val_ci = engines[k].validate(states[k].params,
+                                                   dataset, splits[k][1])
+            if engines[k]._plateau is not None:
+                engines[k]._plateau.step(val_loss)
+            if val_ci > best_score[k]:
+                best_score[k], best_epoch[k] = val_ci, epoch
+                fold_dir = os.path.join(results_dir, f"fold_{folds[k]}")
+                os.makedirs(fold_dir, exist_ok=True)
+                save_params(os.path.join(
+                    fold_dir, f"model_best_{val_ci:.4f}_{epoch}.msgpack"),
+                    states[k].params)
+            msgs.append(f"f{folds[k]} ci {val_ci:.4f}")
+        logger.print(f"epoch {epoch}: train loss {tr_loss:.4f} | "
+                     + ", ".join(msgs))
+
+    for k in range(k_folds):
+        logger.print(f"fold {folds[k]}: best c-index {best_score[k]:.4f} "
+                     f"@ epoch {best_epoch[k]}")
+        meter.update(best_score[k], best_epoch[k])
+    meter.save(os.path.join(results_dir, f"results_{args.model}.csv"))
+    return meter

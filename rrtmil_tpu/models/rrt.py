@@ -440,6 +440,86 @@ class CrossRegionAttention(nn.Module):
         return _fit_length(out, n_in)
 
 
+class LayerNormParams(nn.Module):
+    """Parameter shell matching nn.LayerNorm's tree (scale ones, bias
+    zeros) for fused paths that run the norm inside a kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _InnerAttentionParams(nn.Module):
+    """InnerAttention's exact parameter tree (pe_kernel/pe_bias + qkv +
+    proj DenseParams) without the compute -- consumed by the fused
+    whole-layer kernel.  Paths and initializers match InnerAttention, so
+    init values and checkpoints are interchangeable."""
+
+    cfg: InnerAttentionConfig
+
+    @nn.compact
+    def __call__(self, c: int):
+        a = self.cfg
+        h, hd = a.num_heads, a.resolved_head_dim
+        if a.epeg.enabled:
+            kernel = self.param("pe_kernel", xavier_normal,
+                                (a.epeg.k, 1, 1, h))
+            w = kernel[:, 0, 0, :].T
+            bias = (self.param("pe_bias", zeros, (h,))
+                    if a.epeg.bias else None)
+        else:
+            w, bias = None, None
+        wqkv, bqkv = DenseParams(3 * h * hd, a.qkv_bias, name="qkv")(c)
+        wp, bp = DenseParams(a.dim, True, name="proj")(h * hd)
+        return wqkv, bqkv, w, bias, wp, bp
+
+
+class _RegionAttentionParams(nn.Module):
+    """RegionAttention's nesting shell ('attn'/'attn'/...)."""
+
+    cfg: InnerAttentionConfig
+
+    @nn.compact
+    def __call__(self, c: int):
+        return _InnerAttentionParams(self.cfg, name="attn")(c)
+
+
+class _CRMSAFusedAttn(nn.Module):
+    """CrossRegionAttention with the stream-touching halves fused: the
+    LN/mask/partition-fused compression and the reverse/mask/residual-fused
+    redistribution (ops/pallas/crmsa_kernels.py grid kernels) around the
+    regular tiny cross-region InnerAttention.  Parameter tree ('phi' +
+    'attn'/...) matches CrossRegionAttention."""
+
+    cfg: CRMSAConfig
+
+    @nn.compact
+    def __call__(self, x, mask, ln_s, ln_b, length: int,
+                 deterministic: bool, add_residual: bool):
+        from ..ops.pallas.crmsa_kernels import (crmsa_compress_grid,
+                                                crmsa_redistribute_grid)
+        cfg = self.cfg
+        b, n, c = x.shape
+        geom = grid_geometry(length, cfg.region)
+        kk = cfg.crmsa_k
+        nr = geom.num_regions
+        phi = self.param("phi", crmsa_phi_init(kk), (c, kk))
+        mmd = jnp.dtype(cfg.attn.mm_dtype)
+        reps, w = crmsa_compress_grid(x, mask, ln_s, ln_b, phi,
+                                      geom.grid, geom.region_size, mmd)
+        reps = reps.transpose(0, 2, 1, 3).reshape(b * kk, nr, c)
+        reps = InnerAttention(cfg.attn, name="attn")(
+            reps, deterministic=deterministic)
+        reps = reps.reshape(b, kk, nr, c).transpose(0, 2, 1, 3) \
+                   .astype(jnp.float32)
+        return crmsa_redistribute_grid(x, mask, w, reps, geom.grid,
+                                       geom.region_size, add_residual, mmd)
+
+
 class TransLayer(nn.Module):
     """Pre-LN block: x + DropPath(attn(LN(x))), optional FFN
     (reference modules/rrt.py:43-131).
@@ -448,6 +528,14 @@ class TransLayer(nn.Module):
     rows enter attention as exact zeros -- reproducing the reference's
     "pad AFTER norm with zeros" ordering -- and after each residual branch so
     the stream stays zero on pad rows.
+
+    On TPU the whole R-MSA residual branch (LN + mask + partition + EPEG
+    attention + reverse + mask + residual) dispatches to ONE Pallas kernel
+    (ops/pallas/region_layer.py) when the config allows; with dropout or
+    drop-path active at train time the kernel returns the branch without
+    the residual and dropout/droppath/residual run outside (the dropout
+    rng is then drawn at this layer's path rather than InnerAttention's --
+    a different but equally valid realization of the same distribution).
     """
 
     cfg: TransLayerConfig
@@ -460,11 +548,111 @@ class TransLayer(nn.Module):
             return cfg.crmsa.attn.compute_dtype
         return "float32"
 
+    def _fused_layer_ok(self, x, mask, length: int) -> bool:
+        cfg = self.cfg
+        if cfg.attn_mode != "rmsa" or mask is None:
+            return False
+        if cfg.rmsa.region_attn == "ntrans":
+            return False
+        if cfg.rmsa.region.sp_shards != 1:
+            return False
+        a = cfg.rmsa.attn
+        ep = a.epeg
+        if ep.enabled and (ep.kind != "attn" or ep.two_d):
+            return False
+        if a.attn_dropout != 0.0:
+            return False
+        if not (a.backend == "pallas"
+                or (a.backend == "auto" and _on_tpu())):
+            return False
+        if os.environ.get("RRTMIL_FUSED_LAYER", "1") == "0":
+            return False
+        geom = grid_geometry(length, cfg.rmsa.region)
+        return x.shape[1] == geom.padded_length
+
+    def _fused_rmsa_branch(self, x, mask, length: int, deterministic: bool):
+        from ..ops.pallas.region_layer import region_layer_fused
+        cfg = self.cfg
+        a = cfg.rmsa.attn
+        geom = grid_geometry(length, cfg.rmsa.region)
+        c = x.shape[-1]
+        h, hd = a.num_heads, a.resolved_head_dim
+        scale, bias = LayerNormParams(c, name="norm")()
+        wqkv, bqkv, w, pe_b, wp, bp = _RegionAttentionParams(
+            a, name="attn")(c)
+        if bqkv is None:
+            bqkv = jnp.zeros((3 * h * hd,), jnp.float32)
+        w3 = wqkv.reshape(c, 3, h, hd).transpose(1, 2, 0, 3)
+        b3 = bqkv.reshape(3, h, hd)
+        outside = (not deterministic) and (a.proj_dropout > 0
+                                           or cfg.drop_path > 0)
+        out = region_layer_fused(
+            x, mask, scale, bias,
+            w3[0] * a.scale, w3[1], w3[2],
+            b3[0] * a.scale, b3[1], b3[2],
+            w, pe_b, wp.reshape(h, hd, a.dim), bp,
+            geom.grid, geom.region_size, not outside,
+            jnp.dtype(a.mm_dtype))
+        if outside:
+            z = nn.Dropout(a.proj_dropout)(out, deterministic=False)
+            return x + DropPath(cfg.drop_path, name="drop_path")(
+                z, deterministic=False)
+        return out
+
+    def _fused_crmsa_ok(self, x, mask, length: int) -> bool:
+        cfg = self.cfg
+        if cfg.attn_mode != "crmsa" or mask is None:
+            return False
+        cr = cfg.crmsa
+        if cr.crmsa_mlp or cr.region.sp_shards != 1:
+            return False
+        a = cr.attn
+        if not (a.backend == "pallas"
+                or (a.backend == "auto" and _on_tpu())):
+            return False
+        if os.environ.get("RRTMIL_FUSED_CRMSA_LAYER", "1") == "0":
+            return False
+        geom = grid_geometry(length, cr.region)
+        return x.shape[1] == geom.padded_length
+
+    def _fused_crmsa_branch(self, x, mask, length: int,
+                            deterministic: bool):
+        cfg = self.cfg
+        c = x.shape[-1]
+        scale, bias = LayerNormParams(c, name="norm")()
+        outside = (not deterministic) and cfg.drop_path > 0
+        out = _CRMSAFusedAttn(cfg.crmsa, name="attn")(
+            x, mask, scale, bias, length, deterministic,
+            not outside)
+        if outside:
+            return x + DropPath(cfg.drop_path, name="drop_path")(
+                out, deterministic=False)
+        return out
+
     @nn.compact
     def __call__(self, x, mask=None, length: Optional[int] = None,
                  deterministic: bool = True):
         cfg = self.cfg
         m = None if mask is None else mask[..., None].astype(x.dtype)
+        length_r = x.shape[1] if length is None else length
+
+        fused_rmsa = self._fused_layer_ok(x, mask, length_r)
+        fused_crmsa = (not fused_rmsa
+                       and self._fused_crmsa_ok(x, mask, length_r))
+        if fused_rmsa or fused_crmsa:
+            x = (self._fused_rmsa_branch(x, mask, length_r, deterministic)
+                 if fused_rmsa else
+                 self._fused_crmsa_branch(x, mask, length_r, deterministic))
+            if cfg.ffn:
+                z = nn.LayerNorm(name="norm2")(x)
+                z = Mlp(int(cfg.dim * cfg.mlp_ratio), cfg.dim, cfg.ffn_act,
+                        cfg.dropout, name="mlp")(z,
+                                                 deterministic=deterministic)
+                if m is not None:
+                    z = z * m
+                x = x + DropPath(cfg.drop_path, name="drop_path_ffn")(
+                    z, deterministic=deterministic)
+            return x
 
         z = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         # LayerNorm reduces in fp32; the normalized stream is written back

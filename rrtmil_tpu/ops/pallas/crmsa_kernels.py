@@ -28,6 +28,7 @@ what matters).  The crmsa_mlp phi variant keeps the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -197,3 +198,277 @@ def _redistribute_bwd(out_dtype, mm_dtype, res, g):
 
 
 crmsa_redistribute.defvjp(_redistribute_fwd, _redistribute_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Grid-layout variants: the whole CR-MSA TransLayer except the tiny
+# cross-region attention.  compress_grid fuses LayerNorm + mask + region
+# partition into the phi compression (reads the raw residual stream once);
+# redistribute_grid fuses region reverse + mask + residual add into the
+# redistribution (writes the post-layer stream once).  Together they remove
+# the LN stream, the fp32->bf16 convert, and four HBM partition/reverse
+# copies that cost ~0.2 ms/slide at batch 16 (profiler trace, round 4).
+# ---------------------------------------------------------------------------
+
+
+def _ln_mask(x_ref, m_ref, ls_ref, lb_ref, mm_dtype, eps):
+    """Masked flax-LayerNorm of one (1, rs, w, C) block -> (M, C)."""
+    _, rs, w, c = x_ref.shape
+    n = rs * w
+    xf = x_ref[0].astype(jnp.float32).reshape(n, c)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mu * mu)
+    z = (xf - mu) * jax.lax.rsqrt(var + eps)
+    z = z * ls_ref[0][None, :] + lb_ref[0][None, :]
+    mflat = m_ref[0].astype(jnp.float32).reshape(n, 1)
+    return (z * mflat).astype(mm_dtype), mflat
+
+
+def _compress_grid_kernel(x_ref, m_ref, ls_ref, lb_ref, phi_ref,
+                          reps_ref, w_ref, *, mm_dtype, eps):
+    _, rs, w, c = x_ref.shape
+    cb = w // rs
+    p = rs * rs
+    k = phi_ref.shape[0]
+    z, _ = _ln_mask(x_ref, m_ref, ls_ref, lb_ref, mm_dtype, eps)
+    z_r = z.reshape(rs, cb, rs, c).transpose(1, 0, 2, 3).reshape(cb, p, c)
+    phi_b = jnp.broadcast_to(phi_ref[...], (cb, k, c))
+    logits = jax.lax.dot_general(
+        phi_b.astype(mm_dtype), z_r, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, P)
+    combine = jax.nn.softmax(logits, axis=-1)
+    dispatch = jax.nn.softmax(logits, axis=-2)
+    lmin = jnp.min(logits, axis=-1, keepdims=True)
+    lmax = jnp.max(logits, axis=-1, keepdims=True)
+    mm = (logits - lmin) / (lmax - lmin + 1e-8)
+    reps_ref[0, 0] = jax.lax.dot_general(
+        combine.astype(mm_dtype), z_r, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, C)
+    w_ref[0, 0] = mm * dispatch
+
+
+def _redistribute_grid_kernel(x_ref, m_ref, w_ref, reps_ref, o_ref,
+                              *, mm_dtype, add_residual: bool):
+    _, rs, wd, c = x_ref.shape
+    cb = wd // rs
+    p = rs * rs
+    out_r = jax.lax.dot_general(
+        w_ref[0, 0].astype(mm_dtype), reps_ref[0, 0].astype(mm_dtype),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, P, C)
+    out = out_r.reshape(cb, rs, rs, c).transpose(1, 0, 2, 3) \
+               .reshape(rs * wd, c)
+    mflat = m_ref[0].astype(jnp.float32).reshape(rs * wd, 1)
+    out = out * mflat
+    if add_residual:
+        out = x_ref[0].astype(jnp.float32).reshape(rs * wd, c) + out
+    o_ref[0] = out.reshape(rs, wd, c).astype(o_ref.dtype)
+
+
+def _grid_cb(nrs: int) -> int:
+    env = os.environ.get("RRTMIL_CRMSA_CB")
+    cap = int(env) if env else 8
+    cb = 1
+    for cand in range(1, min(cap, nrs) + 1):
+        if nrs % cand == 0:
+            cb = cand
+    return cb
+
+
+def _compress_grid_pallas(x, mask, ln_s, ln_b, phi, *, grid_side: int,
+                          region_size: int, mm_dtype, eps: float = 1e-6,
+                          interpret: Optional[bool] = None):
+    b, n, c = x.shape
+    g, rs = grid_side, region_size
+    assert n == g * g
+    nrs = g // rs
+    p = rs * rs
+    k = phi.shape[1]
+    cb = _grid_cb(nrs)
+    if interpret is None:
+        interpret = env_interpret()
+    xg = x.reshape(b, g, g, c)
+    mg = mask.astype(x.dtype).reshape(b, g, g, 1)
+    phi_t = phi.astype(jnp.float32).T
+
+    x_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, rs, cb * rs, 1),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    phi_spec = pl.BlockSpec((k, c), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((1, 1, cb, k, c),
+                             lambda bi, i, j: (bi, i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 1, cb, k, p),
+                          lambda bi, i, j: (bi, i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    reps, w = pl.pallas_call(
+        functools.partial(_compress_grid_kernel,
+                          mm_dtype=jnp.dtype(mm_dtype), eps=eps),
+        grid=(b, nrs, nrs // cb),
+        in_specs=[x_spec, m_spec, vec_spec, vec_spec, phi_spec],
+        out_specs=(reps_spec, w_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, nrs, nrs, k, c), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nrs, nrs, k, p), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nrs * nrs * k * p * c * 2,
+            bytes_accessed=b * n * c * x.dtype.itemsize,
+            transcendentals=2 * b * nrs * nrs * k * p),
+        interpret=interpret,
+    )(xg, mg, ln_s.astype(jnp.float32).reshape(1, c),
+      ln_b.astype(jnp.float32).reshape(1, c), phi_t)
+    nr = nrs * nrs
+    return reps.reshape(b, nr, k, c), w.reshape(b, nr, k, p)
+
+
+def _compress_grid_ref(x, mask, ln_s, ln_b, phi, *, grid_side: int,
+                       region_size: int, mm_dtype, eps: float = 1e-6):
+    from ...ops.regions import region_partition
+
+    b, n, c = x.shape
+    g, rs = grid_side, region_size
+    nr = (g // rs) ** 2
+    k = phi.shape[1]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mu * mu)
+    z = (xf - mu) * jax.lax.rsqrt(var + eps)
+    z = z * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    z = (z * mask.astype(jnp.float32)[..., None]).astype(jnp.dtype(mm_dtype))
+    regions = region_partition(z.reshape(b, g, g, c), rs)
+    reps, w = _compress_ref(regions, phi, mm_dtype=mm_dtype)
+    return reps.reshape(b, nr, k, c), w.reshape(b, nr, k, regions.shape[1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def crmsa_compress_grid(x, mask, ln_s, ln_b, phi, grid_side, region_size,
+                        mm_dtype=jnp.bfloat16):
+    """Raw stream (B, G*G, C) + mask -> (reps (B, nR, k, C),
+    w (B, nR, k, P)); LayerNorm/mask/partition fused in."""
+    return _compress_grid_pallas(x, mask, ln_s, ln_b, phi,
+                                 grid_side=grid_side,
+                                 region_size=region_size, mm_dtype=mm_dtype)
+
+
+def _cgrid_fwd(x, mask, ln_s, ln_b, phi, grid_side, region_size, mm_dtype):
+    out = _compress_grid_pallas(x, mask, ln_s, ln_b, phi,
+                                grid_side=grid_side,
+                                region_size=region_size, mm_dtype=mm_dtype)
+    return out, (x, mask, ln_s, ln_b, phi)
+
+
+def _cgrid_bwd(grid_side, region_size, mm_dtype, res, g):
+    x, mask, ln_s, ln_b, phi = res
+    _, vjp = jax.vjp(
+        lambda x_, ls_, lb_, p_: _compress_grid_ref(
+            x_, mask, ls_, lb_, p_, grid_side=grid_side,
+            region_size=region_size, mm_dtype=mm_dtype),
+        x, ln_s, ln_b, phi)
+    dx, dls, dlb, dphi = vjp(g)
+    return dx, None, dls, dlb, dphi
+
+
+crmsa_compress_grid.defvjp(_cgrid_fwd, _cgrid_bwd)
+
+
+def _redistribute_grid_pallas(x, mask, w, reps, *, grid_side: int,
+                              region_size: int, add_residual: bool,
+                              mm_dtype,
+                              interpret: Optional[bool] = None):
+    b, n, c = x.shape
+    g, rs = grid_side, region_size
+    nrs = g // rs
+    p = rs * rs
+    k = w.shape[2]
+    cb = _grid_cb(nrs)
+    if interpret is None:
+        interpret = env_interpret()
+    xg = x.reshape(b, g, g, c)
+    mg = mask.astype(x.dtype).reshape(b, g, g, 1)
+    wg = w.reshape(b, nrs, nrs, k, p)
+    rg = reps.reshape(b, nrs, nrs, k, c)
+
+    x_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, rs, cb * rs, 1),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 1, cb, k, p),
+                          lambda bi, i, j: (bi, i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((1, 1, cb, k, c),
+                             lambda bi, i, j: (bi, i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_redistribute_grid_kernel,
+                          mm_dtype=jnp.dtype(mm_dtype),
+                          add_residual=add_residual),
+        grid=(b, nrs, nrs // cb),
+        in_specs=[x_spec, m_spec, w_spec, reps_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, g, g, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nrs * nrs * k * p * c,
+            bytes_accessed=2 * b * n * c * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xg, mg, wg, rg)
+    return out.reshape(b, n, c)
+
+
+def _redistribute_grid_ref(x, mask, w, reps, *, grid_side: int,
+                           region_size: int, add_residual: bool, mm_dtype):
+    from ...ops.regions import region_reverse
+
+    b, n, c = x.shape
+    g, rs = grid_side, region_size
+    nr = (g // rs) ** 2
+    p = rs * rs
+    y = _redistribute_ref(w.reshape(b * nr, w.shape[2], p),
+                          reps.reshape(b * nr, reps.shape[2], c),
+                          mm_dtype=mm_dtype, out_dtype=jnp.float32)
+    out = region_reverse(y, rs, g, g).astype(jnp.float32)
+    out = out * mask.astype(jnp.float32)[..., None]
+    if add_residual:
+        out = x.astype(jnp.float32) + out
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def crmsa_redistribute_grid(x, mask, w, reps, grid_side, region_size,
+                            add_residual, mm_dtype=jnp.bfloat16):
+    """(B, nR, k, P) weights + attended reps -> post-layer stream
+    (B, G*G, C); reverse/mask/residual fused in."""
+    return _redistribute_grid_pallas(x, mask, w, reps, grid_side=grid_side,
+                                     region_size=region_size,
+                                     add_residual=add_residual,
+                                     mm_dtype=mm_dtype)
+
+
+def _rgrid_fwd(x, mask, w, reps, grid_side, region_size, add_residual,
+               mm_dtype):
+    out = _redistribute_grid_pallas(x, mask, w, reps, grid_side=grid_side,
+                                    region_size=region_size,
+                                    add_residual=add_residual,
+                                    mm_dtype=mm_dtype)
+    return out, (x, mask, w, reps)
+
+
+def _rgrid_bwd(grid_side, region_size, add_residual, mm_dtype, res, g):
+    x, mask, w, reps = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, r_: _redistribute_grid_ref(
+            x_, mask, w_, r_, grid_side=grid_side, region_size=region_size,
+            add_residual=add_residual, mm_dtype=mm_dtype),
+        x, w, reps)
+    dx, dw, dreps = vjp(g)
+    return dx, None, dw, dreps
+
+
+crmsa_redistribute_grid.defvjp(_rgrid_fwd, _rgrid_bwd)

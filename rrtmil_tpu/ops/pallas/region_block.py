@@ -41,27 +41,27 @@ from jax.experimental.pallas import tpu as pltpu
 from .region_attn import env_interpret, region_attention_fused
 
 
-def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+def _block_kernel(x_ref, wqkv_ref, bqkv_ref,
                   pm_ref, pb_ref, wp_ref, bp_ref, o_ref,
-                  *, heads: int, kk: int, has_pb: bool, mm_dtype):
+                  *, heads: int, kk: int, has_pb: bool, mm_dtype,
+                  unroll: bool):
     rb, p, c = x_ref.shape
-    hd = wq_ref.shape[2]
+    hd = wp_ref.shape[1]
     z2 = x_ref[...].reshape(rb * p, c).astype(mm_dtype)
 
-    # Heads iterate via fori_loop (dynamic leading-dim indexing of the
-    # weight refs), NOT a python loop: an 8x-unrolled body made the Mosaic
-    # program large enough that the sandbox's remote compiler took minutes
-    # per bucket shape (round-3 regression hunt).
-    def head_body(h, acc):
-        q = jax.lax.dot_general(
-            z2, wq_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bq_ref[h][None, :]
-        k = jax.lax.dot_general(
-            z2, wk_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bk_ref[h][None, :]
-        v = jax.lax.dot_general(
-            z2, wv_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bv_ref[h][None, :]
+    def head_attn(h):
+        """One head's attention output, (rb*P, hd) fp32.
+
+        q/k/v come from ONE merged dot against the (C, 3*hd) per-head
+        weight slab: N=192 output columns keep the MXU ~75% busy where
+        round 3's three separate N=64 dots ran it at 50% (the qkv
+        projections are ~60% of the kernel's FLOPs)."""
+        qkv = jax.lax.dot_general(
+            z2, wqkv_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkv_ref[h][None, :]
+        q = qkv[:, :hd]
+        k = qkv[:, hd:2 * hd]
+        v = qkv[:, 2 * hd:]
         qb = q.reshape(rb, p, hd)
         if kk > 0:
             # EPEG as ONE batched MXU dot: the (k,1) conv over the query
@@ -91,19 +91,31 @@ def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             attn.astype(mm_dtype), v.reshape(rb, p, hd).astype(mm_dtype),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # (rb, P, hd)
-        return acc + jax.lax.dot_general(
-            o.reshape(rb * p, hd).astype(mm_dtype), wp_ref[h],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        return o.reshape(rb * p, hd)
 
-    import os
-    acc = jnp.zeros((rb * p, c), jnp.float32)
-    if os.environ.get("RRTMIL_BLOCK_UNROLL", "0") != "0":
-        for h in range(heads):      # measured ~11% faster fwd, slower compile
-            acc = head_body(h, acc)
+    if unroll:
+        # Unrolled heads let the output projection run as ONE
+        # (rb*P, H*hd) @ (H*hd, C) dot with the full K=512 contraction on
+        # the MXU instead of H accumulated K=64 dots (50% utilization).
+        o_all = jnp.concatenate(
+            [head_attn(h).astype(mm_dtype) for h in range(heads)], axis=-1)
+        out = jax.lax.dot_general(
+            o_all, wp_ref[...].reshape(heads * hd, c),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bp_ref[...]
     else:
-        acc = jax.lax.fori_loop(0, heads, head_body, acc)
-    out = acc + bp_ref[...]
+        # fori fallback (dynamic leading-dim weight indexing): much
+        # smaller Mosaic program, kept for configs where the unrolled
+        # compile is prohibitive through a remote compiler.
+        def head_body(h, acc):
+            return acc + jax.lax.dot_general(
+                head_attn(h).astype(mm_dtype), wp_ref[h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, heads, head_body,
+                                jnp.zeros((rb * p, c), jnp.float32))
+        out = acc + bp_ref[...]
     o_ref[...] = out.reshape(rb, p, c).astype(o_ref.dtype)
 
 
@@ -154,22 +166,27 @@ def _block_fwd_pallas(x, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp, *,
     pb_in = (pb if pb is not None else jnp.zeros((h,), jnp.float32))
     pb_in = pb_in.reshape(h, 1)
     mmd = jnp.dtype(mm_dtype)
-    wq, wk, wv, wp = (w.astype(mmd) for w in (wq, wk, wv, wp))
-    bq, bk, bv = (b.astype(jnp.float32) for b in (bq, bk, bv))
+    # merged per-head qkv slab (H, C, 3*hd): one N=3*hd dot per head
+    wqkv = jnp.concatenate([w.astype(mmd) for w in (wq, wk, wv)], axis=-1)
+    bqkv = jnp.concatenate([b.astype(jnp.float32) for b in (bq, bk, bv)],
+                           axis=-1)
+    wp = wp.astype(mmd)
     bp2 = bp.astype(jnp.float32).reshape(1, c)
     if rb is None:
         rb = _pick_rb_block(r, p, c, h, hd, x.dtype.itemsize)
     assert r % rb == 0, (r, rb)
     if interpret is None:
         interpret = env_interpret()
+    import os
+    unroll = os.environ.get("RRTMIL_BLOCK_UNROLL", "1") != "0"
 
     x_spec = pl.BlockSpec((rb, p, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    w3_spec = pl.BlockSpec((h, c, hd), lambda i: (0, 0, 0),
-                           memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((h, c, 3 * hd), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     wp_spec = pl.BlockSpec((h, hd, c), lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    b2_spec = pl.BlockSpec((h, hd), lambda i: (0, 0),
+    b2_spec = pl.BlockSpec((h, 3 * hd), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     pm_spec = pl.BlockSpec(pm_in.shape, lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -182,10 +199,10 @@ def _block_fwd_pallas(x, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp, *,
                      + 2 * p * hd * c)         # proj
     return pl.pallas_call(
         functools.partial(_block_kernel, heads=h, kk=kk, has_pb=has_pb,
-                          mm_dtype=mmd),
+                          mm_dtype=mmd, unroll=unroll),
         grid=(r // rb,),
-        in_specs=[x_spec, w3_spec, w3_spec, w3_spec, b2_spec, b2_spec,
-                  b2_spec, pm_spec, pb_spec, wp_spec, bp_spec],
+        in_specs=[x_spec, wqkv_spec, b2_spec, pm_spec, pb_spec, wp_spec,
+                  bp_spec],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((r, p, c), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -194,7 +211,7 @@ def _block_fwd_pallas(x, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp, *,
             + (4 * h * c * hd) * mmd.itemsize,
             transcendentals=r * h * p * p),
         interpret=interpret,
-    )(x, wq, wk, wv, bq, bk, bv, pm_in, pb_in, wp, bp2)
+    )(x, wqkv, bqkv, pm_in, pb_in, wp, bp2)
 
 
 def _block_ref(x, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp, *, mm_dtype):

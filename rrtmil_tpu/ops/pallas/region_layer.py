@@ -1,0 +1,295 @@
+"""Pallas TPU kernel: the ENTIRE R-MSA TransLayer in one pass.
+
+Fuses LayerNorm -> mask -> region partition -> per-region EPEG attention
+(qkv + Toeplitz-EPEG logits + softmax + AV + out-projection) -> region
+reverse -> mask -> residual add (reference modules/rrt.py:43-131 +
+rmsa.py:56-230) into a single pallas_call over grid-row blocks.
+
+Why: with the round-4 block kernel the attention math itself ran at ~45%
+of peak, but the surrounding XLA ops -- the fp32 LayerNorm stream, two
+mask multiplies, the HBM partition/reverse relayouts, and the residual
+add -- cost ~0.35 ms/slide of pure HBM traffic at batch 16 (profiler
+trace, VERDICT r4 work).  Here the layer reads x once (bf16), does the
+norm/rearrange/attention entirely in VMEM, and writes x_out once: HBM
+traffic per layer drops from ~10 passes over the stream to 2.
+
+Layout trick: the token stream (B, G*G, C) is VIEWED as (B, G, G, C) --
+a free reshape -- and each program takes one (rs, cb*rs, C) slab: `rs`
+grid rows by `cb` regions.  The qkv and output projections run on the
+slab's natural (rs*cb*rs, C) token order (region order is irrelevant to
+a per-token matmul); only the small per-head q/k/v (M, hd) tensors are
+rearranged to (cb, P, hd) region batches for the attention dots, in VMEM.
+
+Training with proj-dropout/drop-path active uses `add_residual=False`:
+the kernel returns the masked attention branch and the caller applies
+dropout + residual (elementwise mask and dropout commute).  The backward
+is the XLA composition of identical math whose attention core runs the
+fused Pallas backward kernel (see region_block._block_ref).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .region_attn import env_interpret
+from .region_block import _block_ref
+
+
+def _layer_kernel(x_ref, m_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                  pm_ref, pb_ref, wp_ref, bp_ref, o_ref,
+                  *, heads: int, kk: int, has_pb: bool, mm_dtype,
+                  add_residual: bool, eps: float):
+    _, rs, w, c = x_ref.shape          # m_ref is (1, rs, w, 1)
+    cb = w // rs
+    p = rs * rs
+    hd = wp_ref.shape[1]
+    n = rs * w
+
+    xin = x_ref[0]                                  # (rs, w, C)
+    xf = xin.astype(jnp.float32).reshape(n, c)
+    # flax LayerNorm (fast variance): var = max(0, E[x^2] - E[x]^2)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mu * mu)
+    z = (xf - mu) * jax.lax.rsqrt(var + eps)
+    z = z * ls_ref[0][None, :] + lb_ref[0][None, :]
+    mflat = m_ref[0].astype(jnp.float32).reshape(n, 1)
+    z = (z * mflat).astype(mm_dtype)                # (M, C) masked tokens
+
+    def to_regions(t):
+        # (rs, cb, rs, hd) -> (cb, rs, rs, hd) -> (cb, P, hd)
+        return t.reshape(rs, cb, rs, hd).transpose(1, 0, 2, 3) \
+                .reshape(cb, p, hd)
+
+    def head_attn(h):
+        qkv = jax.lax.dot_general(
+            z, wqkv_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkv_ref[h][None, :]
+        qb = to_regions(qkv[:, :hd])
+        kb = to_regions(qkv[:, hd:2 * hd]).astype(mm_dtype)
+        vb = to_regions(qkv[:, 2 * hd:]).astype(mm_dtype)
+        if kk > 0:
+            # EPEG (k,1) conv on the logit map == Toeplitz matrix applied
+            # to q (see region_block._block_kernel)
+            m_b = jnp.broadcast_to(pm_ref[h], (cb, p, p))
+            qb = jax.lax.dot_general(
+                m_b.astype(mm_dtype), qb.astype(mm_dtype),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        logits = jax.lax.dot_general(
+            qb.astype(mm_dtype), kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # (cb, P, P)
+        if kk > 0 and has_pb:
+            logits = logits + pb_ref[h, 0]
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            attn.astype(mm_dtype), vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # (cb, P, hd)
+        # regions -> token order
+        return o.reshape(cb, rs, rs, hd).transpose(1, 0, 2, 3) \
+                .reshape(n, hd)
+
+    o_all = jnp.concatenate(
+        [head_attn(h).astype(mm_dtype) for h in range(heads)], axis=-1)
+    proj = jax.lax.dot_general(
+        o_all, wp_ref[...].reshape(heads * hd, c), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bp_ref[...]
+    proj = proj * mflat                             # zero the pad rows
+    if add_residual:
+        out = xin.astype(jnp.float32).reshape(n, c) + proj
+    else:
+        out = proj
+    o_ref[0] = out.reshape(rs, w, c).astype(o_ref.dtype)
+
+
+def _pick_cb(nrs: int, rs: int, c: int, heads: int, hd: int) -> int:
+    env = os.environ.get("RRTMIL_LAYER_CB")
+    if env:
+        cap = int(env)
+    else:
+        p = rs * rs
+        # live-set estimate; halved because Mosaic reuses freed buffers
+        # (calibrated on v5e: cb=8 fits and is fastest at the flagship
+        # G=96/rs=12/C=512/H=8 shape -- 0.320 vs 0.339 ms at cb=4)
+        per_region = (p * c * (2 * 2 + 4 + 4 + 2 + 4)   # xin+o, xf, z, oall, proj
+                      + 4 * p * 3 * hd * 4              # qkv + region copies
+                      + 4 * p * p * 4) // 2             # logit tiles
+        weights = 4 * heads * c * hd * 2 + heads * p * p * 4
+        cap = max(1, (13 * 1024 * 1024 - weights) // max(per_region, 1))
+    cb = 1
+    for cand in range(1, min(cap, nrs) + 1):
+        if nrs % cand == 0:
+            cb = cand
+    return cb
+
+
+def _layer_fwd_pallas(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb,
+                      wp, bp, *, grid_side: int, region_size: int,
+                      add_residual: bool, mm_dtype, eps: float = 1e-6,
+                      interpret: Optional[bool] = None,
+                      cb: Optional[int] = None):
+    """x: (B, G*G, C) stream dtype; mask (B, G*G) bool; weights as
+    region_block._block_fwd_pallas (wq/bq pre-scaled).  Returns x-shaped
+    output: the full post-layer stream (add_residual) or the masked
+    attention branch."""
+    b, nn_, c = x.shape
+    g, rs = grid_side, region_size
+    assert nn_ == g * g, (nn_, g)
+    nrs = g // rs
+    p = rs * rs
+    h, _, hd = wq.shape
+    kk = 0 if pw is None else pw.shape[1]
+    has_pb = pb is not None
+    mmd = jnp.dtype(mm_dtype)
+    if pw is not None:
+        pad = kk // 2
+        eyes = jnp.stack([jnp.eye(p, k=t - pad, dtype=jnp.float32)
+                          for t in range(kk)])
+        pm_in = jnp.eye(p, dtype=jnp.float32)[None] + jnp.einsum(
+            "hk,kij->hij", pw.astype(jnp.float32), eyes)
+    else:
+        pm_in = jnp.zeros((h, 1, 1), jnp.float32)
+    pb_in = (pb if pb is not None else jnp.zeros((h,), jnp.float32))
+    pb_in = pb_in.reshape(h, 1)
+    wqkv = jnp.concatenate([w_.astype(mmd) for w_ in (wq, wk, wv)], axis=-1)
+    bqkv = jnp.concatenate([b_.astype(jnp.float32) for b_ in (bq, bk, bv)],
+                           axis=-1)
+    wp = wp.astype(mmd)
+    bp2 = bp.astype(jnp.float32).reshape(1, c)
+    ls = ln_s.astype(jnp.float32).reshape(1, c)
+    lb = ln_b.astype(jnp.float32).reshape(1, c)
+    if cb is None:
+        cb = _pick_cb(nrs, rs, c, h, hd)
+    assert nrs % cb == 0, (nrs, cb)
+    if interpret is None:
+        interpret = env_interpret()
+
+    xg = x.reshape(b, g, g, c)
+    # trailing unit dim keeps the mask block legal under the TPU layout
+    # rule (last two block dims must divide (8, 128) or equal the array's)
+    mg = mask.astype(x.dtype).reshape(b, g, g, 1)
+
+    x_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, rs, cb * rs, 1),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((h, c, 3 * hd), lambda bi, i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    b2_spec = pl.BlockSpec((h, 3 * hd), lambda bi, i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    pm_spec = pl.BlockSpec(pm_in.shape, lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    pb_spec = pl.BlockSpec((h, 1), lambda bi, i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    wp_spec = pl.BlockSpec((h, hd, c), lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    r_total = b * nrs * nrs
+    flops = r_total * h * (3 * 2 * p * c * hd + 2 * 2 * p * p * hd
+                           + (2 * p * p * hd if kk else 0)
+                           + 2 * p * hd * c)
+    out = pl.pallas_call(
+        functools.partial(_layer_kernel, heads=h, kk=kk, has_pb=has_pb,
+                          mm_dtype=mmd, add_residual=add_residual, eps=eps),
+        grid=(b, nrs, nrs // cb),
+        in_specs=[x_spec, m_spec, vec_spec, vec_spec, wqkv_spec, b2_spec,
+                  pm_spec, pb_spec, wp_spec, bp_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, g, g, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * b * nn_ * c * x.dtype.itemsize,
+            transcendentals=r_total * h * p * p),
+        interpret=interpret,
+    )(xg, mg, ls, lb, wqkv, bqkv, pm_in, pb_in, wp, bp2)
+    return out.reshape(b, nn_, c)
+
+
+def _layer_ref(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp,
+               *, grid_side: int, region_size: int, add_residual: bool,
+               mm_dtype, eps: float = 1e-6):
+    """XLA composition of the identical math (backward path: the attention
+    core inside _block_ref runs the fused Pallas backward kernel)."""
+    from ...ops.regions import region_partition, region_reverse
+
+    b, nn_, c = x.shape
+    g, rs = grid_side, region_size
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mu * mu)
+    z = (xf - mu) * jax.lax.rsqrt(var + eps)
+    z = z * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    mf = mask.astype(jnp.float32)[..., None]
+    z = (z * mf).astype(jnp.dtype(mm_dtype))
+    regions = region_partition(z.reshape(b, g, g, c), rs)
+    y = _block_ref(regions, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp,
+                   mm_dtype=mm_dtype)
+    out = region_reverse(y, rs, g, g).astype(jnp.float32) * mf
+    if add_residual:
+        out = xf + out
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
+def region_layer_fused(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb,
+                       wp, bp, grid_side, region_size, add_residual,
+                       mm_dtype=jnp.bfloat16):
+    return _layer_fwd_pallas(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv,
+                             pw, pb, wp, bp, grid_side=grid_side,
+                             region_size=region_size,
+                             add_residual=add_residual, mm_dtype=mm_dtype)
+
+
+def _fwd(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp,
+         grid_side, region_size, add_residual, mm_dtype):
+    out = _layer_fwd_pallas(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv,
+                            pw, pb, wp, bp, grid_side=grid_side,
+                            region_size=region_size,
+                            add_residual=add_residual, mm_dtype=mm_dtype)
+    return out, (x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb,
+                 wp, bp)
+
+
+def _bwd(grid_side, region_size, add_residual, mm_dtype, residuals, g):
+    (x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp) = residuals
+    diff = (x, ln_s, ln_b, wq, wk, wv, bq, bk, bv, wp, bp)
+
+    def f(x_, ls_, lb_, wq_, wk_, wv_, bq_, bk_, bv_, wp_, bp_, pw_, pb_):
+        return _layer_ref(x_, mask, ls_, lb_, wq_, wk_, wv_, bq_, bk_, bv_,
+                          pw_, pb_, wp_, bp_, grid_side=grid_side,
+                          region_size=region_size,
+                          add_residual=add_residual, mm_dtype=mm_dtype)
+
+    if pw is None:
+        fn = lambda *a: f(*a, None, None)
+        _, vjp = jax.vjp(fn, *diff)
+        dx, dls, dlb, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp = vjp(g)
+        return (dx, None, dls, dlb, dwq, dwk, dwv, dbq, dbk, dbv,
+                None, None, dwp, dbp)
+    if pb is None:
+        fn = lambda *a: f(*a[:-1], a[-1], None)
+        _, vjp = jax.vjp(fn, *diff, pw)
+        dx, dls, dlb, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp, dpw = vjp(g)
+        return (dx, None, dls, dlb, dwq, dwk, dwv, dbq, dbk, dbv,
+                dpw, None, dwp, dbp)
+    _, vjp = jax.vjp(f, *diff, pw, pb)
+    dx, dls, dlb, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp, dpw, dpb = vjp(g)
+    return (dx, None, dls, dlb, dwq, dwk, dwv, dbq, dbk, dbv,
+            dpw, dpb, dwp, dbp)
+
+
+region_layer_fused.defvjp(_fwd, _bwd)

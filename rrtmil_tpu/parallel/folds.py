@@ -75,3 +75,49 @@ def make_fold_parallel_step(model, tx: optax.GradientTransformation,
 
         return jax.jit(sharded)
     return jax.jit(vstep)
+
+
+def make_fold_parallel_surv_step(model, tx: optax.GradientTransformation,
+                                 loss_fn: Callable, length: int,
+                                 mesh=None, fold_axis: str = "dp"):
+    """Survival analog of make_fold_parallel_step: the model emits
+    (hazards, survival), the loss is the censored hazard loss
+    loss_fn(hazards, survival, label, censorship), and lr is PER FOLD
+    ((K,) -- the survival harness's plateau scheduler decays each fold's
+    lr on its own validation loss).
+
+    step(stacked_state, x (K,1,N,C), mask (K,1,N), label (K,1),
+         censorship (K,1), lr (K,), rngs (K,2))
+      -> (stacked_state, losses (K,), risks (K, 1))
+    """
+    tx = optax.with_extra_args_support(tx)
+
+    def one_fold_step(state, x, mask, label, censorship, lr, rng):
+        def loss(params):
+            hazards, survival = model.apply(
+                {"params": params}, x, mask=mask, length=length,
+                deterministic=False, rngs={"dropout": rng})
+            l = loss_fn(hazards, survival, label, censorship)
+            return l, -jnp.sum(survival, axis=-1)
+
+        (l, risk), grads = jax.value_and_grad(loss, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params,
+                                       lr=lr)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), l, risk
+
+    vstep = jax.vmap(one_fold_step, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def sharded(state, x, mask, label, censorship, lr, rngs):
+            x = jax.lax.with_sharding_constraint(x, NamedSharding(
+                mesh, P(fold_axis, None, None, None)))
+            return vstep(state, x, mask, label, censorship, lr, rngs)
+
+        return jax.jit(sharded)
+    return jax.jit(vstep)

@@ -43,6 +43,10 @@ def parse_args(argv=None):
     parser.add_argument("--device_cache", default="auto", type=str,
                         choices=["auto", "on", "off"])
     parser.add_argument("--device_cache_gb", default=6.0, type=float)
+    parser.add_argument("--fold_parallel", action="store_true",
+                        help="train all 5 folds simultaneously (vmapped "
+                             "fold axis; harness/survival.py "
+                             "run_survival_fold_parallel)")
     parser.add_argument("--results_dir", type=str, default=None)
     parser.add_argument("--sp_shards", type=int, default=1,
                         help="sequence-parallel shards for long bags "
@@ -70,8 +74,12 @@ def main():
                                             enable_compile_cache)
     apply_platform_env()
     enable_compile_cache()
-    from rrtmil_tpu.harness.survival import run_survival_cv
-    run_survival_cv(args)
+    if getattr(args, "fold_parallel", False):
+        from rrtmil_tpu.harness.survival import run_survival_fold_parallel
+        run_survival_fold_parallel(args)
+    else:
+        from rrtmil_tpu.harness.survival import run_survival_cv
+        run_survival_cv(args)
     print("finished!")
 
 

@@ -40,8 +40,11 @@ def time_fn(fn, args, iters=50, repeats=3):
 
     @jax.jit
     def loop(k, *a):
+        # the 0*acc term chains iteration i+1's input to iteration i's
+        # output so the loop cannot pipeline across iterations (see
+        # bench.py fwd_loop)
         def body(i, acc):
-            out = fn(*a, i)
+            out = fn(*a, i + 0.0 * acc)
             return acc + out
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 

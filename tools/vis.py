@@ -108,6 +108,91 @@ def feature_maps(model, params, features):
     return np.asarray(h[0]), np.asarray(after[0])
 
 
+# Two-category palette for tumor/normal points: a blue/orange pair with
+# strong deuteranopia/protanopia separation; attention magnitude uses the
+# perceptually-uniform, CVD-safe viridis ramp.  Identity is never encoded
+# by color alone (legend + marker shape differ).
+_CAT2 = ("#3b6fb5", "#e08214")
+
+
+def render_figures(out_dir: str, attention: np.ndarray,
+                   emb_before: np.ndarray, emb_after: np.ndarray,
+                   emb_index: np.ndarray,
+                   patch_labels=None) -> bool:
+    """Render the reference vis.ipynb figures as PNGs (cells 12-31: the
+    before/after re-embedding t-SNE feature maps; cells 4-10: attention
+    vs lesion labels).  Returns False (with a note) when matplotlib is
+    unavailable -- the .npz artifacts always carry the underlying data."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable -- skipping PNG rendering "
+              "(the .npz artifacts contain the projected embeddings)")
+        return False
+
+    attn = np.asarray(attention).reshape(-1)
+    sub_attn = attn[emb_index] if len(emb_index) < len(attn) else attn
+    labels = (None if patch_labels is None
+              else np.asarray(patch_labels).reshape(-1)[emb_index])
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 5), constrained_layout=True)
+    for ax, emb, title in ((axes[0], emb_before, "before re-embedding"),
+                           (axes[1], emb_after, "after re-embedding")):
+        if labels is not None:
+            for val, name, color, marker in ((0, "normal", _CAT2[0], "o"),
+                                             (1, "tumor", _CAT2[1], "^")):
+                m = labels == val
+                ax.scatter(emb[m, 0], emb[m, 1], s=6, alpha=0.6,
+                           c=color, marker=marker, label=name,
+                           linewidths=0)
+            ax.legend(frameon=False, markerscale=2)
+        else:
+            sc = ax.scatter(emb[:, 0], emb[:, 1], s=6, alpha=0.7,
+                            c=sub_attn, cmap="viridis", linewidths=0)
+        ax.set_title(title)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        for s in ("top", "right"):
+            ax.spines[s].set_visible(False)
+    if labels is None:
+        fig.colorbar(sc, ax=axes, shrink=0.8, label="attention weight")
+    fig.suptitle("patch feature map, 2-D projection")
+    p1 = os.path.join(out_dir, "feature_maps.png")
+    fig.savefig(p1, dpi=150)
+    plt.close(fig)
+    print(f"wrote {p1}")
+
+    fig, ax = plt.subplots(figsize=(7, 4.5), constrained_layout=True)
+    order = np.argsort(attn)[::-1]
+    ranks = np.arange(1, len(attn) + 1)
+    if patch_labels is not None:
+        lab = np.asarray(patch_labels).reshape(-1)[order]
+        for val, name, color, marker in ((0, "normal", _CAT2[0], "o"),
+                                         (1, "tumor", _CAT2[1], "^")):
+            m = lab == val
+            ax.scatter(ranks[m], attn[order][m], s=8, alpha=0.6, c=color,
+                       marker=marker, label=name, linewidths=0)
+        ax.legend(frameon=False, markerscale=2)
+        ax.set_title("attention rank vs lesion annotation")
+    else:
+        ax.scatter(ranks, attn[order], s=8, alpha=0.6, c=_CAT2[0],
+                   linewidths=0)
+        ax.set_title("attention distribution (rank order)")
+    ax.set_yscale("log")
+    ax.set_xlabel("patch rank by attention")
+    ax.set_ylabel("attention weight")
+    ax.grid(True, alpha=0.2)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    p2 = os.path.join(out_dir, "attention_scatter.png")
+    fig.savefig(p2, dpi=150)
+    plt.close(fig)
+    print(f"wrote {p2}")
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--features", required=True)
@@ -117,6 +202,9 @@ def main():
                     help="Camelyon16 lesion XML (optional)")
     ap.add_argument("--coords", default=None,
                     help=".npy of patch (x, y) coordinates (optional)")
+    ap.add_argument("--plot", action="store_true",
+                    help="also render PNG figures (matplotlib; falls back "
+                         "to npz-only with a note when unavailable)")
     ap.add_argument("--out", default="vis_out")
     args = ap.parse_args()
 
@@ -166,6 +254,10 @@ def main():
     np.savez(os.path.join(args.out, "feature_maps.npz"), **fm)
     print(f"wrote {args.out}/feature_maps.npz (before/after re-embedding, "
           f"{len(idx)} points embedded)")
+
+    if args.plot:
+        render_figures(args.out, payload["attention"], emb_before,
+                       emb_after, idx, payload.get("patch_labels"))
 
 
 if __name__ == "__main__":
