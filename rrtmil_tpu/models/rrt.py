@@ -568,7 +568,12 @@ class TransLayer(nn.Module):
         if os.environ.get("RRTMIL_FUSED_LAYER", "1") == "0":
             return False
         geom = grid_geometry(length, cfg.rmsa.region)
-        return x.shape[1] == geom.padded_length
+        if x.shape[1] != geom.padded_length:
+            return False
+        from ..ops.pallas.region_layer import layer_fusable_geometry
+        return layer_fusable_geometry(
+            geom.region_num, geom.region_size, x.shape[-1], a.num_heads,
+            a.resolved_head_dim, jnp.dtype(x.dtype).itemsize)
 
     def _fused_rmsa_branch(self, x, mask, length: int, deterministic: bool):
         from ..ops.pallas.region_layer import region_layer_fused
@@ -613,7 +618,12 @@ class TransLayer(nn.Module):
         if os.environ.get("RRTMIL_FUSED_CRMSA_LAYER", "1") == "0":
             return False
         geom = grid_geometry(length, cr.region)
-        return x.shape[1] == geom.padded_length
+        if x.shape[1] != geom.padded_length:
+            return False
+        from ..ops.pallas.crmsa_kernels import crmsa_fusable_geometry
+        return crmsa_fusable_geometry(geom.region_num, geom.region_size,
+                                      x.shape[-1],
+                                      jnp.dtype(x.dtype).itemsize)
 
     def _fused_crmsa_branch(self, x, mask, length: int,
                             deterministic: bool):

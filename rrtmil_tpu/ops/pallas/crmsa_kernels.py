@@ -266,14 +266,26 @@ def _redistribute_grid_kernel(x_ref, m_ref, w_ref, reps_ref, o_ref,
     o_ref[0] = out.reshape(rs, wd, c).astype(o_ref.dtype)
 
 
-def _grid_cb(nrs: int) -> int:
+def _grid_cb(nrs: int, rs: int, c: int, itemsize: int):
+    """Regions per program bounded by a VMEM live-set model (the x/z/out
+    slabs scale with the stream itemsize; an unbounded cb=8 at the f32
+    P=196 survival shape exceeds the compiler's 16 MB scoped-vmem stack
+    limit) and by the TPU block-layout legality rule (see
+    region_layer.legal_cb).  None when no legal choice exists."""
+    from .region_layer import legal_cb
     env = os.environ.get("RRTMIL_CRMSA_CB")
-    cap = int(env) if env else 8
-    cb = 1
-    for cand in range(1, min(cap, nrs) + 1):
-        if nrs % cand == 0:
-            cb = cand
-    return cb
+    if env:
+        cap = int(env)
+    else:
+        p = rs * rs
+        per_region = p * c * (3 * itemsize + 10)
+        cap = max(1, (12 * 1024 * 1024) // max(per_region, 1))
+    return legal_cb(nrs, rs, cap)
+
+
+def crmsa_fusable_geometry(nrs: int, rs: int, c: int,
+                           itemsize: int = 2) -> bool:
+    return c % 128 == 0 and _grid_cb(nrs, rs, c, itemsize) is not None
 
 
 def _compress_grid_pallas(x, mask, ln_s, ln_b, phi, *, grid_side: int,
@@ -285,7 +297,10 @@ def _compress_grid_pallas(x, mask, ln_s, ln_b, phi, *, grid_side: int,
     nrs = g // rs
     p = rs * rs
     k = phi.shape[1]
-    cb = _grid_cb(nrs)
+    cb = _grid_cb(nrs, rs, c, x.dtype.itemsize)
+    if cb is None:
+        raise ValueError(f"no legal block decomposition for grid {g}/rs "
+                         f"{rs} (callers gate on crmsa_fusable_geometry)")
     if interpret is None:
         interpret = env_interpret()
     xg = x.reshape(b, g, g, c)
@@ -386,7 +401,10 @@ def _redistribute_grid_pallas(x, mask, w, reps, *, grid_side: int,
     nrs = g // rs
     p = rs * rs
     k = w.shape[2]
-    cb = _grid_cb(nrs)
+    cb = _grid_cb(nrs, rs, c, x.dtype.itemsize)
+    if cb is None:
+        raise ValueError(f"no legal block decomposition for grid {g}/rs "
+                         f"{rs} (callers gate on crmsa_fusable_geometry)")
     if interpret is None:
         interpret = env_interpret()
     xg = x.reshape(b, g, g, c)

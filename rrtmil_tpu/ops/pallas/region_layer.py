@@ -110,7 +110,23 @@ def _layer_kernel(x_ref, m_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
     o_ref[0] = out.reshape(rs, w, c).astype(o_ref.dtype)
 
 
-def _pick_cb(nrs: int, rs: int, c: int, heads: int, hd: int) -> int:
+def legal_cb(nrs: int, rs: int, cap: int) -> Optional[int]:
+    """Largest regions-per-program that (a) divides the nrs regions per
+    grid row, (b) fits the VMEM cap, and (c) keeps the (cb*rs) block dim
+    legal under the TPU layout rule (second-to-last block dim divisible
+    by 8, or equal to the full grid side when cb == nrs).  None when no
+    legal choice exists (caller falls back to the unfused path)."""
+    for cand in sorted((d for d in range(1, nrs + 1) if nrs % d == 0),
+                       reverse=True):
+        if cand > cap:
+            continue
+        if (cand * rs) % 8 == 0 or cand == nrs:
+            return cand
+    return None
+
+
+def _pick_cb(nrs: int, rs: int, c: int, heads: int, hd: int,
+             itemsize: int = 2) -> Optional[int]:
     env = os.environ.get("RRTMIL_LAYER_CB")
     if env:
         cap = int(env)
@@ -118,17 +134,24 @@ def _pick_cb(nrs: int, rs: int, c: int, heads: int, hd: int) -> int:
         p = rs * rs
         # live-set estimate; halved because Mosaic reuses freed buffers
         # (calibrated on v5e: cb=8 fits and is fastest at the flagship
-        # G=96/rs=12/C=512/H=8 shape -- 0.320 vs 0.339 ms at cb=4)
-        per_region = (p * c * (2 * 2 + 4 + 4 + 2 + 4)   # xin+o, xf, z, oall, proj
+        # bf16 G=96/rs=12/C=512/H=8 shape -- 0.320 vs 0.339 ms at cb=4;
+        # the f32-stream P=196 survival shape must drop lower or the
+        # compiler hits the 16 MB scoped-vmem stack limit)
+        per_region = (p * c * (3 * itemsize + 12)       # xin+o, xf, z, oall, proj
                       + 4 * p * 3 * hd * 4              # qkv + region copies
                       + 4 * p * p * 4) // 2             # logit tiles
         weights = 4 * heads * c * hd * 2 + heads * p * p * 4
         cap = max(1, (13 * 1024 * 1024 - weights) // max(per_region, 1))
-    cb = 1
-    for cand in range(1, min(cap, nrs) + 1):
-        if nrs % cand == 0:
-            cb = cand
-    return cb
+    return legal_cb(nrs, rs, cap)
+
+
+def layer_fusable_geometry(nrs: int, rs: int, c: int, heads: int, hd: int,
+                           itemsize: int = 2) -> bool:
+    """True when a legal VMEM-fitting block decomposition exists AND the
+    channel dim is lane-aligned (the kernel's last block dim must divide
+    128)."""
+    return c % 128 == 0 and _pick_cb(nrs, rs, c, heads, hd,
+                                     itemsize) is not None
 
 
 def _layer_fwd_pallas(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb,
@@ -167,7 +190,11 @@ def _layer_fwd_pallas(x, mask, ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb,
     ls = ln_s.astype(jnp.float32).reshape(1, c)
     lb = ln_b.astype(jnp.float32).reshape(1, c)
     if cb is None:
-        cb = _pick_cb(nrs, rs, c, h, hd)
+        cb = _pick_cb(nrs, rs, c, h, hd, x.dtype.itemsize)
+        if cb is None:
+            raise ValueError(
+                f"no legal block decomposition for grid {g}/rs {rs} "
+                f"(callers gate on layer_fusable_geometry)")
     assert nrs % cb == 0, (nrs, cb)
     if interpret is None:
         interpret = env_interpret()
