@@ -63,25 +63,33 @@ class CVMeter:
 
 
 def survival_rrtmil_config(n_features: int, n_classes: int = 4,
-                           epeg_k: int = 15, crmsa_k: int = 3
-                           ) -> RRTMILConfig:
+                           epeg_k: int = 15, crmsa_k: int = 3,
+                           amp: bool = False) -> RRTMILConfig:
     """The survival RRTMIL config (reference Survival/main.py:109-130:
-    region_num=16, the long-bag memory knob per README.md:61)."""
+    region_num=16, the long-bag memory knob per README.md:61).  `amp`
+    switches the encoder to bfloat16 compute (the classification CLI's
+    --amp mapping), which also lets the fused whole-layer kernels apply
+    at the 50k-patch P=196 shapes (fp32 streams there exceed the VMEM
+    block budget and fall back)."""
     return RRTMILConfig(
         input_dim=n_features, n_classes=n_classes,
         encoder=RRTEncoderConfig(region_num=16, epeg_k=epeg_k,
-                                 crmsa_k=crmsa_k),
+                                 crmsa_k=crmsa_k,
+                                 compute_dtype="bfloat16" if amp
+                                 else "float32"),
         pool=PoolConfig())
 
 
 def build_survival_model(name: str, n_features: int, n_classes: int = 4,
                          epeg_k: int = 15, crmsa_k: int = 3,
-                         confounders=None):
+                         confounders=None, amp: bool = False):
     """Survival model factory (reference Survival/main.py:70-153)."""
     name_l = name.lower().replace("-mil", "").replace("_mil", "")
-    enc16 = RRTEncoderConfig(region_num=16, epeg_k=epeg_k, crmsa_k=crmsa_k)
+    enc16 = RRTEncoderConfig(region_num=16, epeg_k=epeg_k, crmsa_k=crmsa_k,
+                             compute_dtype="bfloat16" if amp else "float32")
     if name_l == "rrtmil":
-        cfg = survival_rrtmil_config(n_features, n_classes, epeg_k, crmsa_k)
+        cfg = survival_rrtmil_config(n_features, n_classes, epeg_k, crmsa_k,
+                                     amp=amp)
         return SurvivalHead(zoo.build_model("rrtmil", rrtmil_cfg=cfg)), enc16
     if name_l == "dtfd":
         return DTFD(input_dim=n_features, n_classes=n_classes), enc16
@@ -319,16 +327,19 @@ def run_survival_cv(args) -> CVMeter:
         if sp_shards > 1:
             model = survival_rrtmil_config(
                 n_features, n_classes=4, epeg_k=args.epeg_k,
-                crmsa_k=args.crmsa_k)
+                crmsa_k=args.crmsa_k, amp=getattr(args, "amp", False))
             enc = model.encoder
         else:
             model, enc = build_survival_model(
                 args.model, n_features, n_classes=4,
-                epeg_k=args.epeg_k, crmsa_k=args.crmsa_k)
+                epeg_k=args.epeg_k, crmsa_k=args.crmsa_k,
+                amp=getattr(args, "amp", False))
         cfg = SurvivalEngineConfig(
             loss=args.loss, opt=args.optimizer.lower(), lr=args.lr,
             weight_decay=args.weight_decay, lr_schedule=args.scheduler,
             num_epochs=args.num_epoch, seed=args.seed,
+            transfer_dtype="bfloat16" if getattr(args, "amp", False)
+            else "float32",
             device_cache=getattr(args, "device_cache", "auto"),
             device_cache_bytes=int(getattr(args, "device_cache_gb", 6.0)
                                    * (1 << 30)))
@@ -421,11 +432,14 @@ def run_survival_fold_parallel(args, folds=None) -> CVMeter:
 
     model, enc = build_survival_model(args.model, n_features, n_classes=4,
                                       epeg_k=args.epeg_k,
-                                      crmsa_k=args.crmsa_k)
+                                      crmsa_k=args.crmsa_k,
+                                      amp=getattr(args, "amp", False))
     cfg = SurvivalEngineConfig(
         loss=args.loss, opt=args.optimizer.lower(), lr=args.lr,
         weight_decay=args.weight_decay, lr_schedule=args.scheduler,
         num_epochs=args.num_epoch, seed=args.seed,
+        transfer_dtype="bfloat16" if getattr(args, "amp", False)
+        else "float32",
         device_cache=getattr(args, "device_cache", "auto"),
         device_cache_bytes=int(getattr(args, "device_cache_gb", 6.0)
                                * (1 << 30)))

@@ -37,6 +37,9 @@ class SurvivalEngineConfig:
     num_epochs: int = 30
     n_bins: int = 4
     seed: int = 1
+    transfer_dtype: str = "float32"  # host->device dtype for bags; the
+    # survival_main --amp flag sets 'bfloat16' with bfloat16 encoder
+    # compute (see classification EngineConfig.transfer_dtype)
     device_cache: str = "auto"       # HBM-resident bag cache ('auto' = on
     # when the backend is a TPU); see data/device_cache.py and the
     # classification EngineConfig.device_cache docstring.  Survival bags
@@ -148,6 +151,8 @@ class SurvivalEngine:
     def _prep(self, bag: np.ndarray):
         spec = bucket_for(bag.shape[0], self.encoder_cfg)
         x, mask = pad_bag(bag.astype(np.float32), spec.data_length)
+        if self.cfg.transfer_dtype != "float32":
+            x = x.astype(self.cfg.transfer_dtype)
         return jnp.asarray(x[None]), jnp.asarray(mask[None]), spec
 
     def train_epoch(self, state, dataset, indices: Sequence[int], epoch: int,

@@ -39,6 +39,10 @@ def parse_args(argv=None):
     parser.add_argument("--epeg_k", type=int, default=15)
     parser.add_argument("--crmsa_k", type=int, default=3)
     parser.add_argument("--no_log", action="store_true")
+    parser.add_argument("--amp", action="store_true",
+                        help="bfloat16 encoder compute + bag transfer "
+                             "(the classification CLI's --amp mapping; "
+                             "params, norms, softmax, loss stay fp32)")
     # TPU extension: HBM-resident bag cache (data/device_cache.py)
     parser.add_argument("--device_cache", default="auto", type=str,
                         choices=["auto", "on", "off"])

@@ -459,3 +459,24 @@ def test_native_loader_bf16_quiets_nan(tmp_path):
     np.save(p, a)
     x, _, _ = native_loader.fill_batch([p], 4, 8, dtype="bfloat16")
     assert np.isnan(x[0, 0, 0].astype(np.float32))
+
+
+def test_survival_amp_flag_switches_to_bfloat16(tmp_path):
+    """survival_main --amp: bfloat16 encoder compute + bag transfer; one
+    CV run trains, validates, and writes finite c-indexes."""
+    import jax.numpy as jnp
+
+    from rrtmil_tpu.harness.survival import (build_survival_model,
+                                             run_survival_cv)
+    _, enc = build_survival_model("RRTMIL", n_features=24, amp=True)
+    assert enc.compute_dtype == "bfloat16"
+    _, enc32 = build_survival_model("RRTMIL", n_features=24)
+    assert enc32.compute_dtype == "float32"
+
+    csv_path = _write_survival_csv(tmp_path)
+    args = _SurvArgs(excel_file=csv_path, input_dim=24,
+                     results_dir=str(tmp_path / "amp_out"), amp=True,
+                     model="RRTMIL", crmsa_k=1, epeg_k=9)
+    meter = run_survival_cv(args)
+    vals = [v for v in meter.cindex[1:6]]
+    assert all(np.isfinite(v) for v in vals)

@@ -162,6 +162,10 @@ def main():
     ap.add_argument("--out", default="",
                     help="append results to this JSON file (e.g. "
                          "SCALING_r03.json)")
+    ap.add_argument("--amp", action="store_true",
+                    help="bfloat16 encoder compute (survival --amp "
+                         "mapping; also enables the fused whole-layer "
+                         "kernels at the P=196 long-bag shapes)")
     ap.add_argument("--analytic_only", action="store_true",
                     help="write only the analytic communication model "
                          "(no device measurements)")
@@ -197,6 +201,11 @@ def main():
                                               sharded_config)
 
     cfg = survival_default()                     # region_num=16, 4 bins
+    if args.amp:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder,
+                                             compute_dtype="bfloat16"))
     length = args.length
     results = {}
 
@@ -274,7 +283,8 @@ def main():
         if _os.path.exists(args.out):
             with open(args.out) as f:
                 existing = json.load(f)
-        existing[jax.default_backend()] = payload
+        key = jax.default_backend() + ("_amp" if args.amp else "")
+        existing[key] = payload
         existing["analytic_model"] = analytic_comm_model()
         with open(args.out, "w") as f:
             json.dump(existing, f, indent=1)
