@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.bucketing import bucket_for, pad_bag
+
 from ..parallel.folds import (make_fold_parallel_step, stack_states,
                               unstack_states)
 from ..train.earlystop import EarlyStopping
@@ -128,20 +128,27 @@ def run_cv_fold_parallel(args) -> Dict[str, List[float]]:
         lr = engines[0].current_lr(epoch, t_parallel)
 
         for t in range(t_parallel):
-            bags, labels, lengths = [], [], []
-            for k in range(k_folds):
-                bag, label = fold_sets[k][0][orders[k][t]]
-                bag = np.asarray(bag, np.float32)
-                if bag.ndim == 3:
-                    bag = bag[0]
-                bags.append(bag)
-                labels.append(label)
-                lengths.append(bag.shape[0])
-            spec = bucket_for(max(lengths), enc_cfg)
-            xs, ms = zip(*[pad_bag(b, spec.data_length) for b in bags])
-            x = jnp.asarray(np.stack(xs))[:, None]           # (K, 1, N, C)
-            m = jnp.asarray(np.stack(ms))[:, None]
-            y = jnp.asarray(np.asarray(labels, np.int32))[:, None]
+            # per-fold bags come through the fold's OWN engine._make_batch:
+            # host augmentation draws from that engine's RNG stream exactly
+            # as the sequential harness does (previously the parallel loop
+            # skipped augmentation while the ragged tails applied it), and
+            # the device-resident bag cache serves repeat epochs without
+            # touching the host.  Bags land padded to their own bucket and
+            # are zero-extended ON DEVICE to the step's common bucket (the
+            # same bucket-unification semantics as before, docs/PARITY.md).
+            parts = [engines[k]._make_batch(fold_sets[k][0],
+                                            [orders[k][t]], True)
+                     for k in range(k_folds)]
+            spec = max((p[3] for p in parts), key=lambda s: s.data_length)
+            pad_to = spec.data_length
+            xs = [jnp.pad(p[0], ((0, 0), (0, pad_to - p[0].shape[1]),
+                                 (0, 0))) if p[0].shape[1] != pad_to
+                  else p[0] for p in parts]
+            ms = [jnp.pad(p[1], ((0, 0), (0, pad_to - p[1].shape[1])))
+                  if p[1].shape[1] != pad_to else p[1] for p in parts]
+            x = jnp.stack(xs)                                # (K, 1, N, C)
+            m = jnp.stack(ms)
+            y = jnp.stack([p[2] for p in parts])
             rngs = jnp.stack([
                 jax.random.fold_in(jax.random.fold_in(epoch_keys[k], epoch),
                                    iters[k]) for k in range(k_folds)])

@@ -127,3 +127,18 @@ def test_survival_fold_parallel_matches_sequential(tmp_path):
     # best checkpoints exist per fold
     assert all(os.path.isdir(tmp_path / "par" / f"fold_{k}")
                for k in range(5))
+
+
+def test_fold_parallel_augmented_matches_sequential(tmp_path):
+    """Round-4 fix: the parallel loop now routes bags through each fold's
+    engine._make_batch, so host shuffle augmentation applies with the
+    same per-fold RNG stream as the sequential harness (previously the
+    parallel steps silently skipped augmentation while the ragged tails
+    applied it)."""
+    _write_equal_length_dataset(str(tmp_path / "data"))
+    seq = run_cv(_args(tmp_path, "seq_aug", epeg_k=9, crmsa_k=1,
+                       patch_shuffle=True))
+    par = run_cv_fold_parallel(_args(tmp_path, "par_aug", epeg_k=9,
+                                     crmsa_k=1, patch_shuffle=True))
+    np.testing.assert_allclose(par["auc"], seq["auc"], atol=1e-6)
+    np.testing.assert_allclose(par["acs"], seq["acs"], atol=1e-6)
