@@ -14,19 +14,45 @@ with device-side concatenation (~MS per step) instead of re-transferring
 caches decoded bags in host RAM; this is that idea moved to the right side
 of the interconnect.
 
-Entries are keyed (dataset identity, bag index) and store the bag already
-padded to its own bucket length in the transfer dtype, plus its mask row
-and label -- exactly the per-slide slices a bucket-grouped batch
-concatenates.  A byte budget caps HBM use; once full, later bags simply
-stay uncached (hybrid streaming), so an over-budget dataset degrades to
-the cold path rather than OOMing the chip.
+Entries store the bag already padded to its own bucket length in the
+transfer dtype, plus its mask row and label -- exactly the per-slide slices
+a bucket-grouped batch concatenates.  Keys: when the dataset exposes a
+stable on-disk identity (slide_path / wsi_paths) and applies no per-access
+transform, the FILE PATH keys the entry, so the same slide appearing in
+several datasets (k-fold train splits + val/test, fold-parallel CV) is
+cached once; otherwise the key is (dataset identity, index).  Datasets
+whose __getitem__ is randomized per access (same_psize train resampling,
+tcga max_patch) must NOT be cached at all -- `cacheable(dataset, train)`
+is the gate the engines use.
+
+A byte budget caps HBM use; once full, later bags simply stay uncached
+(hybrid streaming), so an over-budget dataset degrades to the cold path
+rather than OOMing the chip.  All mutation is lock-guarded: the engine's
+prefetch workers call put/get concurrently, and a racy byte counter would
+quietly void the budget guarantee.
 """
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 # (x (1, L, D) device, mask (1, L) device, label (1,) device, BucketSpec)
 Entry = Tuple[Any, Any, Any, Any]
+
+
+def cacheable(dataset, train: bool) -> bool:
+    """False for datasets whose bag content is randomized per access:
+    caching would freeze one draw AND desync the dataset's RNG stream."""
+    if getattr(dataset, "max_patch", -1) > 0:
+        return False    # np.random subsample on EVERY access (train+eval)
+    if train and getattr(dataset, "keep_same_psize", 0) > 0:
+        return False    # train-split resample per access; the eval-split
+    return True         # resample is deterministic per slide -> cacheable
+
+
+def _paths(dataset):
+    return (getattr(dataset, "slide_path", None)
+            or getattr(dataset, "wsi_paths", None))
 
 
 class DeviceBagCache:
@@ -35,9 +61,10 @@ class DeviceBagCache:
         self.used = 0
         self.hits = 0
         self.misses = 0
-        self._entries: Dict[Tuple[int, int], Entry] = {}
+        self._lock = threading.Lock()
+        self._entries: Dict[Any, Entry] = {}
         # strong refs so a dataset's id() cannot be recycled by a new object
-        # while its entries are alive
+        # while its id-keyed entries are alive
         self._datasets: Dict[int, Any] = {}
 
     def __len__(self) -> int:
@@ -47,33 +74,49 @@ class DeviceBagCache:
     def full(self) -> bool:
         return self.used >= self.budget
 
+    def _key(self, dataset, index: int):
+        paths = _paths(dataset)
+        if paths is not None and getattr(dataset, "keep_same_psize", 0) <= 0:
+            return paths[index]
+        return (id(dataset), index)
+
     def get(self, dataset, index: int) -> Optional[Entry]:
-        e = self._entries.get((id(dataset), index))
-        if e is None:
-            self.misses += 1
-            return None
-        self.hits += 1
-        return e
+        with self._lock:
+            e = self._entries.get(self._key(dataset, index))
+            if e is None:
+                self.misses += 1
+                return None
+            self.hits += 1
+            return e
 
     def put(self, dataset, index: int, x, mask, label, spec) -> bool:
         nbytes = x.nbytes + mask.nbytes + label.nbytes
-        if self.used + nbytes > self.budget:
-            return False
-        key = (id(dataset), index)
-        if key not in self._entries:
-            self._datasets[id(dataset)] = dataset
+        key = self._key(dataset, index)
+        with self._lock:
+            if key in self._entries:
+                return True
+            if self.used + nbytes > self.budget:
+                return False
+            if isinstance(key, tuple):
+                self._datasets[id(dataset)] = dataset
             self._entries[key] = (x, mask, label, spec)
             self.used += nbytes
-        return True
+            return True
 
     def drop_dataset(self, dataset) -> None:
         did = id(dataset)
-        for key in [k for k in self._entries if k[0] == did]:
-            x, mask, label, _ = self._entries.pop(key)
-            self.used -= x.nbytes + mask.nbytes + label.nbytes
-        self._datasets.pop(did, None)
+        paths = _paths(dataset)
+        keys = set(paths or [])
+        with self._lock:
+            for key in [k for k in self._entries
+                        if (isinstance(k, tuple) and k[0] == did)
+                        or (not isinstance(k, tuple) and k in keys)]:
+                x, mask, label, _ = self._entries.pop(key)
+                self.used -= x.nbytes + mask.nbytes + label.nbytes
+            self._datasets.pop(did, None)
 
     def clear(self) -> None:
-        self._entries.clear()
-        self._datasets.clear()
-        self.used = 0
+        with self._lock:
+            self._entries.clear()
+            self._datasets.clear()
+            self.used = 0

@@ -84,6 +84,13 @@ def run_cv_fold_parallel(args) -> Dict[str, List[float]]:
     fold_sets = [_make_datasets(args, k, splits) for k in range(k_folds)]
     engines = [Engine(model, ecfg, encoder_cfg=enc_cfg)
                for _ in range(k_folds)]
+    # ONE device cache shared across the fold engines: K private caches
+    # would demand K x the byte budget of HBM, and the path-keyed entries
+    # dedup each slide across the overlapping fold splits
+    shared_cache = engines[0]._device_cache()
+    if shared_cache is not None:
+        for e in engines[1:]:
+            e._dcache = shared_cache
     states = []
     for k, (train_set, _, _) in enumerate(fold_sets):
         example_len = max(train_set.bag(0).shape[0], 64)

@@ -444,6 +444,12 @@ def run_survival_fold_parallel(args, folds=None) -> CVMeter:
         device_cache_bytes=int(getattr(args, "device_cache_gb", 6.0)
                                * (1 << 30)))
     engines = [SurvivalEngine(model, cfg, enc) for _ in folds]
+    # one shared device cache: K private budgets would demand K x the HBM
+    # budget, and path-keyed entries dedup bags across overlapping splits
+    shared_cache = engines[0]._device_cache()
+    if shared_cache is not None:
+        for e in engines[1:]:
+            e._dcache = shared_cache
     splits = [dataset.get_split(f) for f in folds]
     states = []
     for k, (tr, _) in enumerate(splits):
@@ -464,7 +470,6 @@ def run_survival_fold_parallel(args, folds=None) -> CVMeter:
     best_score = [0.0] * k_folds
     best_epoch = [0] * k_folds
     key = jax.random.PRNGKey(cfg.seed)
-    iters = [0] * k_folds
     for epoch in range(cfg.num_epochs):
         orders = []
         for k in range(k_folds):
@@ -477,29 +482,32 @@ def run_survival_fold_parallel(args, folds=None) -> CVMeter:
         ep_key = jax.random.fold_in(key, epoch)
         losses_dev = []
         for t in range(t_par):
-            bags, labels, censors, lengths = [], [], [], []
-            for k in range(k_folds):
-                idx = orders[k][t]
-                bags.append(np.asarray(dataset[idx][1], np.float32))
-                labels.append(int(dataset.labels[idx]))
-                censors.append(int(dataset.censorship[idx]))
-                lengths.append(bags[-1].shape[0])
-            spec = bucket_for(max(lengths), enc)
-            xs, ms = zip(*[pad_bag(b, spec.data_length) for b in bags])
-            x = jnp.asarray(np.stack(xs))[:, None]           # (K, 1, N, C)
-            m = jnp.asarray(np.stack(ms))[:, None]
-            y = jnp.asarray(np.asarray(labels, np.int32))[:, None]
-            c = jnp.asarray(np.asarray(censors, np.float32))[:, None]
-            # every fold's sequential run draws the same dropout stream
-            # (learning() keys on cfg.seed), so the stacked rngs replicate
-            # fold_in(fold_in(key, epoch), iteration)
-            rngs = jnp.stack([jax.random.fold_in(ep_key, iters[k])
-                              for k in range(k_folds)])
+            # bags come through each engine's _prep_indexed (device cache,
+            # transfer dtype), padded to their OWN bucket and zero-extended
+            # on device to the step's common bucket
+            parts = [engines[k]._prep_indexed(dataset, orders[k][t])
+                     for k in range(k_folds)]
+            spec = max((p[2] for p in parts), key=lambda s: s.data_length)
+            pad_to = spec.data_length
+            xs = [jnp.pad(p[0], ((0, 0), (0, pad_to - p[0].shape[1]),
+                                 (0, 0))) if p[0].shape[1] != pad_to
+                  else p[0] for p in parts]
+            ms = [jnp.pad(p[1], ((0, 0), (0, pad_to - p[1].shape[1])))
+                  if p[1].shape[1] != pad_to else p[1] for p in parts]
+            x = jnp.stack(xs)                                # (K, 1, N, C)
+            m = jnp.stack(ms)
+            y = jnp.asarray(np.asarray([p[5] for p in parts],
+                                       np.int32))[:, None]
+            c = jnp.asarray(np.asarray([p[4] for p in parts],
+                                       np.float32))[:, None]
+            # every fold's sequential run draws the dropout key
+            # fold_in(fold_in(key, epoch), j) with j RESET each epoch
+            # (SurvivalEngine.train_epoch), so the stacked rngs replicate
+            # that stream exactly -- identical across folds
+            rngs = jnp.stack([jax.random.fold_in(ep_key, t)] * k_folds)
             stacked, losses, _ = pstep(spec.repr_length)(
                 stacked, x, m, y, c, jnp.asarray(lrs), rngs)
             losses_dev.append(losses)
-            for k in range(k_folds):
-                iters[k] += 1
 
         if any(len(o) > t_par for o in orders):
             states = unstack_states(stacked, k_folds)
@@ -511,9 +519,8 @@ def run_survival_fold_parallel(args, folds=None) -> CVMeter:
                         states[k], xk, mk, jnp.asarray([lab], jnp.int32),
                         jnp.asarray([cen], jnp.float32),
                         jnp.float32(lrs[k]),
-                        jax.random.fold_in(ep_key, iters[k]),
+                        jax.random.fold_in(ep_key, t),
                         spec.repr_length)
-                    iters[k] += 1
             stacked = stack_states(states)
 
         states = unstack_states(stacked, k_folds)

@@ -324,7 +324,10 @@ class Engine:
         """
         augmented = train and (self.cfg.patch_shuffle or
                                self.cfg.group_shuffle)
-        cache = None if (augmented or self.cfg.exact) else self._device_cache()
+        from ..data.device_cache import cacheable
+        cache = None if (augmented or self.cfg.exact
+                         or not cacheable(dataset, train)) \
+            else self._device_cache()
         if cache is not None:
             return self._make_batch_cached(dataset, indices, train, cache)
         x, mask, labels, spec = self._assemble_host(dataset, indices, train)

@@ -87,7 +87,8 @@ class SurvivalEngine:
         event = float(dataset.events[idx])
         censorship = int(dataset.censorship[idx])
         label = int(dataset.labels[idx])
-        cache = self._device_cache()
+        from ..data.device_cache import cacheable
+        cache = self._device_cache() if cacheable(dataset, True) else None
         if cache is not None:
             hit = cache.get(dataset, idx)
             if hit is not None:

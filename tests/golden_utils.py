@@ -95,12 +95,28 @@ def ensure_goldens():
             raise RuntimeError(
                 f"golden fixtures {bad} fail sha256 verification and no "
                 f"reference checkout exists to regenerate them")
-        _regenerate()
-        still_bad = _manifest_mismatches()
-        if still_bad:
+        with open(MANIFEST) as f:
+            old_pins = json.load(f)["files"]
+        _regenerate()   # NB: the generator re-pins the manifest, so a
+        # mismatch check against the NEW manifest would be vacuous.
+        # Instead compare the regenerated content against the OLD pins:
+        # a restored hash means the on-disk file had been tampered; a
+        # CHANGED hash means the oracle itself now produces different
+        # tensors (reference drift / nondeterminism) -- surfaced loudly
+        # because silently adopting it would defeat the pinning.
+        drifted = [name for name, want in old_pins.items()
+                   if os.path.exists(os.path.join(GOLDEN_DIR, name))
+                   and sha256_of(os.path.join(GOLDEN_DIR, name)) != want]
+        missing = [name for name in old_pins
+                   if not os.path.exists(os.path.join(GOLDEN_DIR, name))]
+        if missing:
             raise RuntimeError(
-                f"golden fixtures still fail verification after "
-                f"regeneration: {still_bad}")
+                f"golden fixtures missing after regeneration: {missing}")
+        if drifted:
+            print("goldens: REGENERATED CONTENT DIFFERS FROM THE OLD PINS "
+                  f"for {drifted} -- the oracle's output changed, not just "
+                  "the on-disk files; parity baselines may have moved",
+                  file=sys.stderr)
     _verified = True
     return True
 

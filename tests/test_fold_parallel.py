@@ -124,9 +124,31 @@ def test_survival_fold_parallel_matches_sequential(tmp_path):
         np.asarray(meter_par.cindex[1:6], np.float64),
         np.asarray(meter_seq.cindex[1:6], np.float64), atol=1e-9)
     assert meter_par.epochs[1:6] == meter_seq.epochs[1:6]
-    # best checkpoints exist per fold
-    assert all(os.path.isdir(tmp_path / "par" / f"fold_{k}")
-               for k in range(5))
+    # trajectory-level parity: the saved best-checkpoint PARAMETERS must
+    # match (c-index alone is a coarse rank statistic; the dropout rng
+    # stream divergence of round 4's first cut passed it while training
+    # different weights)
+    from flax import serialization
+    for k in range(5):
+        def best(d):
+            fd = tmp_path / d / f"fold_{k}"
+            return sorted(fd.glob("*.msgpack"))[-1]
+        p_seq = serialization.msgpack_restore(best("seq").read_bytes())
+        p_par = serialization.msgpack_restore(best("par").read_bytes())
+        for (kp, a), (_, b) in zip(
+                sorted((("/".join(map(str, path)), leaf) for path, leaf in
+                        _flatten(p_seq))),
+                sorted((("/".join(map(str, path)), leaf) for path, leaf in
+                        _flatten(p_par)))):
+            np.testing.assert_allclose(a, b, atol=1e-6, err_msg=kp)
+
+
+def _flatten(tree, prefix=()):
+    for key, val in tree.items():
+        if isinstance(val, dict):
+            yield from _flatten(val, prefix + (key,))
+        else:
+            yield prefix + (key,), val
 
 
 def test_fold_parallel_augmented_matches_sequential(tmp_path):

@@ -71,3 +71,34 @@ def test_verification_runs_once_per_process(fake_goldens, monkeypatch):
     golden_utils.ensure_goldens()
     golden_utils.ensure_goldens()
     assert calls["n"] == 1
+
+
+def test_regen_drift_is_surfaced(fake_goldens, monkeypatch, capsys):
+    """If regeneration produces DIFFERENT content than the old pins (the
+    oracle itself changed), the adoption must be loud, not silent."""
+    np.savez(fake_goldens / "other.npz", y=np.zeros(3))  # tamper
+
+    def fake_regen():
+        np.savez(fake_goldens / "other.npz", y=np.full(3, 7.0))  # drifted
+        golden_utils.write_manifest()        # the real generator re-pins
+
+    monkeypatch.setattr(golden_utils, "_regenerate", fake_regen)
+    monkeypatch.setattr(golden_utils, "_REFERENCE", str(fake_goldens))
+    monkeypatch.setattr(golden_utils, "_verified", False)
+    assert golden_utils.ensure_goldens()
+    err = capsys.readouterr().err
+    assert "REGENERATED CONTENT DIFFERS" in err
+    assert "other.npz" in err
+
+
+def test_regen_missing_file_raises(fake_goldens, monkeypatch):
+    (fake_goldens / "other.npz").unlink()
+
+    def fake_regen():
+        golden_utils.write_manifest()
+
+    monkeypatch.setattr(golden_utils, "_regenerate", fake_regen)
+    monkeypatch.setattr(golden_utils, "_REFERENCE", str(fake_goldens))
+    monkeypatch.setattr(golden_utils, "_verified", False)
+    with pytest.raises(RuntimeError, match="missing after regeneration"):
+        golden_utils.ensure_goldens()
