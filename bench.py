@@ -119,6 +119,65 @@ def measure(batch: int, ks=(1, 25, 100), repeats: int = 3) -> float:
     return batch / max(slope, 1e-9)
 
 
+def measure_train(batch: int = 8, iters: int = 20) -> float:
+    """Train-step slides/s (fwd + fused Pallas backward + torch-Adam) at
+    the flagship shape in bfloat16 -- the north-star workload is TRAINING
+    (reference main.py:415-499), so the headline carries both numbers
+    (VERDICT r4 weak #5)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    import dataclasses
+
+    from rrtmil_tpu.config import c16_r50
+    from rrtmil_tpu.data.bucketing import bucket_for
+    from rrtmil_tpu.models import RRTMIL
+    from rrtmil_tpu.train.engine import Engine, EngineConfig
+
+    cfg = dataclasses.replace(
+        c16_r50(), encoder=dataclasses.replace(c16_r50().encoder,
+                                               compute_dtype="bfloat16"))
+    model = RRTMIL(cfg)
+    engine = Engine(model, EngineConfig(), encoder_cfg=cfg.encoder)
+    spec = bucket_for(N_PATCHES, cfg.encoder)
+    key = jax.random.PRNGKey(0)
+    state = engine.init(key, N_PATCHES, cfg.input_dim)
+    x = jax.random.normal(key, (batch, spec.data_length, cfg.input_dim),
+                          jnp.float32)
+    mask = jnp.broadcast_to(jnp.arange(spec.data_length)[None] < N_PATCHES,
+                            (batch, spec.data_length))
+    labels = jnp.zeros((batch,), jnp.int32)
+    lr = jnp.float32(2e-4)
+
+    def loop(state, x, mask, labels, k):
+        def body(i, st):
+            st, _ = engine._train_step(st, x + 1e-6 * i, mask, labels, lr,
+                                       jax.random.fold_in(key, i),
+                                       spec.repr_length)
+            return st
+        return jax.lax.fori_loop(0, k, body, state)
+
+    run = jax.jit(loop, static_argnums=(4,))
+
+    def fetch(st):
+        return float(np.asarray(jax.tree_util.tree_leaves(
+            st.params)[0]).ravel()[0])
+
+    fetch(run(state, x, mask, labels, 1))
+    fetch(run(state, x, mask, labels, iters))
+    t_of = {}
+    for _ in range(3):
+        for k in (1, iters):
+            t0 = time.perf_counter()
+            fetch(run(state, x, mask, labels, k))
+            t_of[k] = min(t_of.get(k, float("inf")),
+                          time.perf_counter() - t0)
+    per_step = (t_of[iters] - t_of[1]) / (iters - 1)
+    return batch / per_step
+
+
 def main():
     # The sandbox TPU tunnel can wedge; bound the whole run so the driver
     # always gets a process exit instead of an indefinite hang.
@@ -159,6 +218,19 @@ def main():
         result["error"] = (f"only {len(rates)}/4 batch points succeeded; "
                            "value is not trustworthy")
     result.update(_extra_metrics(best))
+    try:
+        train_rate = measure_train(batch=8)
+        result["train_slides_per_s"] = round(train_rate, 1)
+        result["train_ms_per_slide"] = round(1e3 / train_rate, 3)
+        if "useful_gflops_per_fwd" in result and "mfu_fwd" in result:
+            # bwd ~ 2x fwd FLOPs => train step useful FLOPs = 3x fwd
+            peak = _PEAK_BF16.get(result.get("device_kind", ""), None)
+            if peak:
+                result["mfu_train"] = round(
+                    3 * result["useful_gflops_per_fwd"] * 1e9 * train_rate
+                    / peak, 4)
+    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+        result["train_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     print(json.dumps(result))
 
 

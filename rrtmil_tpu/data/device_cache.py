@@ -75,9 +75,19 @@ class DeviceBagCache:
         return self.used >= self.budget
 
     def _key(self, dataset, index: int):
-        paths = _paths(dataset)
-        if paths is not None and getattr(dataset, "keep_same_psize", 0) <= 0:
-            return paths[index]
+        if getattr(dataset, "keep_same_psize", 0) <= 0:
+            # survival datasets rewrite the raw CSV path (folder
+            # substitution + root join) before loading; key on the resolved
+            # path so two datasets with different folder/root never collide
+            rp = getattr(dataset, "resolved_path", None)
+            p = rp(index) if rp is not None else (_paths(dataset) or
+                                                  [None] * (index + 1))[index]
+            # fabricated in-memory identities (ArrayDataset "mem://{i}")
+            # are not stable across dataset instances -- two synthetic
+            # datasets sharing a cache would silently serve each other's
+            # bags; fall through to the id-keyed entry instead
+            if isinstance(p, str) and not p.startswith("mem://"):
+                return p
         return (id(dataset), index)
 
     def get(self, dataset, index: int) -> Optional[Entry]:
@@ -105,8 +115,10 @@ class DeviceBagCache:
 
     def drop_dataset(self, dataset) -> None:
         did = id(dataset)
-        paths = _paths(dataset)
-        keys = set(paths or [])
+        try:
+            keys = {self._key(dataset, i) for i in range(len(dataset))}
+        except TypeError:
+            keys = set()
         with self._lock:
             for key in [k for k in self._entries
                         if (isinstance(k, tuple) and k[0] == did)

@@ -79,14 +79,24 @@ class SurvivalDataset:
         train_split = [i for i in sample_index if i not in val_set]
         return train_split, val_split
 
-    def read_wsi(self, path: str) -> np.ndarray:
+    def _resolve(self, path: str) -> List[str]:
+        """Post-substitution on-disk paths for one CSV WSI entry (the raw
+        string is rewritten before loading, so only the resolved form is a
+        stable cache identity -- see data/device_cache.py)."""
         path = path.replace("resnet50", self.folder)
-        parts = []
+        out = []
         for p in path.split(";"):
             if self.root is not None and not os.path.isabs(p):
                 p = os.path.join(self.root, p)
-            parts.append(load_feature_file(p))
-        return np.concatenate(parts, axis=0)
+            out.append(p)
+        return out
+
+    def resolved_path(self, idx: int) -> str:
+        return ";".join(self._resolve(self.wsi_paths[idx]))
+
+    def read_wsi(self, path: str) -> np.ndarray:
+        return np.concatenate([load_feature_file(p)
+                               for p in self._resolve(path)], axis=0)
 
     def __getitem__(self, idx: int):
         return (self.ids[idx], self.read_wsi(self.wsi_paths[idx]),
@@ -101,10 +111,14 @@ class ArraySurvivalDataset(SurvivalDataset):
                  status: Sequence[int], n_bins: int = 4):
         self._bags = [np.asarray(b, np.float32) for b in bags]
         self.ids = [f"case_{i}" for i in range(len(bags))]
+        self.wsi_paths = [f"mem://{i}" for i in range(len(bags))]
         self.events = np.asarray(events, np.float64)
         self.status = np.asarray(status, np.int64)
         self.labels = quantile_bins(self.events, self.status, n_bins)
         self.censorship = (self.status == 0).astype(np.int64)
+
+    def resolved_path(self, idx: int) -> str:
+        return self.wsi_paths[idx]   # mem:// -> id-keyed in the cache
 
     def __getitem__(self, idx: int):
         return (self.ids[idx], self._bags[idx], float(self.events[idx]),

@@ -280,6 +280,7 @@ def one_fold(args, fold: int, splits, metrics: Dict[str, List[float]],
     if not args.no_log and os.path.exists(ckpt.best_path(fold)):
         params = ckpt.load_best(fold, state.params)
     probs, labels, test_loss = engine.evaluate(params, test_set)
+    engine.close()   # free the fold's HBM bag cache + transfer threads
     acc, auc, pre, rec, fs = five_scores(labels, probs, sub_typing)
     logger.print(f"Fold {fold} test: acc {acc:.3f} auc {auc:.3f} "
                  f"pre {pre:.3f} rec {rec:.3f} f1 {fs:.3f}")

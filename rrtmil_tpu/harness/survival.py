@@ -100,8 +100,15 @@ def build_survival_model(name: str, n_features: int, n_classes: int = 4,
                "maxmil": "maxmil", "ibmil": "ibmil"}
     if name_l not in mapping:
         raise ValueError(f"unknown survival model {name!r}")
+    extra = {}
+    if name_l == "transmil":
+        # the survival vendored TransMIL re-inits cls_token to std 1e-6
+        # (Survival/models/TransMIL/network.py:75-76); classification keeps
+        # torch.randn (std 1.0, modules/transmil.py:80)
+        extra["cls_token_std"] = 1e-6
     backbone = zoo.build_model(mapping[name_l], input_dim=n_features,
-                               n_classes=n_classes, confounders=confounders)
+                               n_classes=n_classes, confounders=confounders,
+                               **extra)
     return SurvivalHead(backbone), enc16
 
 
@@ -387,6 +394,7 @@ def run_survival_cv(args) -> CVMeter:
                                           logger=logger,
                                           checkpoint_fn=save_best)
         logger.print(f"fold {fold}: best c-index {score:.4f} @ epoch {epoch}")
+        engine.close()   # free the fold's HBM bag cache before the next fold
         meter.update(score, epoch)
 
     meter.save(os.path.join(results_dir, f"results_{args.model}.csv"))

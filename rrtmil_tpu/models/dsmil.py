@@ -45,9 +45,16 @@ class BClassifier(nn.Module):
         b = a.T @ v                                   # (C, 512)
         # Conv1d(C, C, kernel=512) over (1, C, 512) -> (1, C, 1): a full
         # bilinear mixing of (class, feature) -> class (dsmil.py:76,92).
-        w = self.param("fcc_kernel", xavier_normal,
+        # torch Conv1d DEFAULT init: dsmil's initialize_weights covers only
+        # Conv2d/Linear/LayerNorm (dsmil.py:5-18), so fcc keeps
+        # kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) on BOTH weight
+        # and bias, fan_in = in_channels * kernel_size = n_classes * 512
+        from ..utils.inits import uniform_bound
+        fcc_bound = 1.0 / (self.n_classes * 512) ** 0.5
+        w = self.param("fcc_kernel", uniform_bound(fcc_bound),
                        (self.n_classes, self.n_classes, 512))
-        bias = self.param("fcc_bias", zeros, (self.n_classes,))
+        bias = self.param("fcc_bias", uniform_bound(fcc_bound),
+                          (self.n_classes,))
         logits = jnp.einsum("cv,ocv->o", b, w) + bias
         return logits[None], a, b                     # (1, C)
 

@@ -62,6 +62,10 @@ class TransMIL(nn.Module):
     n_classes: int = 2
     act: str = "relu"
     dropout: float = 0.25
+    # classification transmil.py:80 leaves torch.randn (std 1.0); the
+    # survival vendored copy re-inits to std 1e-6 (Survival/models/TransMIL/
+    # network.py:75-76) -- the survival factory overrides this field
+    cls_token_std: float = 1.0
 
     requires_exact = True  # wrap-padding needs true-length bags
 
@@ -85,9 +89,9 @@ class TransMIL(nn.Module):
             h = jnp.concatenate([h, h[:, :add]], axis=1)
 
         b = h.shape[0]
-        cls_token = self.param("cls_token",
-                               nn.initializers.normal(stddev=1e-6),
-                               (1, 1, 512))
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=self.cls_token_std),
+            (1, 1, 512))
         h = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, 512)), h],
                             axis=1)
 

@@ -77,7 +77,8 @@ def build_model(name: str, input_dim: int = 1024, n_classes: int = 2,
                      dropout=dropout, rrt=rrt, confounders=confounders)
     if name == "transmil":
         return TransMIL(input_dim=input_dim, n_classes=n_classes, act=act,
-                        dropout=dropout)
+                        dropout=dropout,
+                        cls_token_std=kwargs.get("cls_token_std", 1.0))
     if name in ("clam_sb", "clam_mb"):
         return cls(input_dim=input_dim, n_classes=n_classes, act=act,
                    dropout=dropout, rrt=rrt,

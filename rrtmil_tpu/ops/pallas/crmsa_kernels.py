@@ -378,8 +378,176 @@ def _cgrid_fwd(x, mask, ln_s, ln_b, phi, grid_side, region_size, mm_dtype):
     return out, (x, mask, ln_s, ln_b, phi)
 
 
+def _cgrid_bwd_kernel(x_ref, m_ref, ls_ref, lb_ref, phi_ref,
+                      dreps_ref, dw_ref,
+                      dx_ref, dls_ref, dlb_ref, dphi_ref,
+                      *, mm_dtype, eps: float):
+    """Fused backward of _compress_grid_kernel: recomputes the LN stream +
+    phi logits + the dual softmax / min-max weights, then emits dx and the
+    dls/dlb/dphi accumulators in one pass (the XLA composition streamed the
+    (B, N, C) tokens ~5x per train step -- the dominant non-kernel cost in
+    the r5 train trace, docs/traces/train)."""
+    bi, ii, jj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    _, rs, w, c = x_ref.shape
+    cb = w // rs
+    p = rs * rs
+    k = phi_ref.shape[0]
+    n = rs * w
+
+    @pl.when((bi == 0) & (ii == 0) & (jj == 0))
+    def _():
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+        dphi_ref[...] = jnp.zeros_like(dphi_ref)
+
+    # ---- recompute forward ----
+    xin = x_ref[0]
+    xf = xin.astype(jnp.float32).reshape(n, c)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mu * mu)
+    rstd = jax.lax.rsqrt(var + eps)
+    zhat = (xf - mu) * rstd
+    ls = ls_ref[0][None, :]
+    zs = zhat * ls + lb_ref[0][None, :]
+    mflat = m_ref[0].astype(jnp.float32).reshape(n, 1)
+    z = (zs * mflat).astype(mm_dtype)
+    z_r = z.reshape(rs, cb, rs, c).transpose(1, 0, 2, 3).reshape(cb, p, c)
+    phi_b = jnp.broadcast_to(phi_ref[...], (cb, k, c))
+    logits = jax.lax.dot_general(
+        phi_b.astype(mm_dtype), z_r, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, P)
+    combine = jax.nn.softmax(logits, axis=-1)
+    dispatch = jax.nn.softmax(logits, axis=-2)
+    lmin = jnp.min(logits, axis=-1, keepdims=True)
+    lmax = jnp.max(logits, axis=-1, keepdims=True)
+    rng = lmax - lmin + 1e-8
+    mm = (logits - lmin) / rng
+
+    dreps = dreps_ref[0, 0].astype(jnp.float32)          # (cb, k, C)
+    dw = dw_ref[0, 0].astype(jnp.float32)                # (cb, k, P)
+    dreps_m = dreps.astype(mm_dtype)
+
+    # reps = combine @ z_r
+    d_comb = jax.lax.dot_general(
+        dreps_m, z_r, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, P)
+    dz_r = jax.lax.dot_general(
+        combine.astype(mm_dtype), dreps_m, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, P, C)
+
+    # w_out = mm * dispatch
+    d_mm = dw * dispatch
+    d_disp = dw * mm
+    # softmax over tokens (axis -1)
+    dl = combine * (d_comb - jnp.sum(d_comb * combine, axis=-1,
+                                     keepdims=True))
+    # softmax over k (axis -2)
+    dl = dl + dispatch * (d_disp - jnp.sum(d_disp * dispatch, axis=-2,
+                                           keepdims=True))
+    # min-max normalization (ties split equally, matching jnp.min/max vjp)
+    dl = dl + d_mm / rng
+    lz = logits - lmin                                    # (cb, k, P)
+    dlmin = jnp.sum(d_mm * (lz - rng), axis=-1, keepdims=True) / (rng * rng)
+    dlmax = -jnp.sum(d_mm * lz, axis=-1, keepdims=True) / (rng * rng)
+    eqmin = (logits == lmin).astype(jnp.float32)
+    eqmax = (logits == lmax).astype(jnp.float32)
+    dl = dl + dlmin * eqmin / jnp.sum(eqmin, axis=-1, keepdims=True)
+    dl = dl + dlmax * eqmax / jnp.sum(eqmax, axis=-1, keepdims=True)
+
+    dl_m = dl.astype(mm_dtype)
+    # logits = phi z_r^T: dz_r += dl^T phi ; dphi += sum_r dl z_r
+    dz_r = dz_r + jax.lax.dot_general(
+        dl_m, phi_b, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, P, C)
+    dphi_c = jax.lax.dot_general(
+        dl_m, z_r, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, C)
+    dphi_ref[...] += jnp.sum(dphi_c, axis=0)             # (k, C)
+
+    # regions -> tokens, then the LayerNorm backward
+    dz = dz_r.reshape(cb, rs, rs, c).transpose(1, 0, 2, 3).reshape(n, c)
+    dzs = dz * mflat
+    dls_ref[...] += jnp.sum(dzs * zhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(dzs, axis=0, keepdims=True)
+    dzh = dzs * ls
+    m1 = jnp.mean(dzh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dzh * zhat, axis=-1, keepdims=True)
+    dxf = rstd * (dzh - m1 - zhat * m2)
+    dx_ref[0] = dxf.reshape(rs, w, c).astype(dx_ref.dtype)
+
+
+def _cgrid_bwd_pallas(x, mask, ln_s, ln_b, phi, dreps, dw, *,
+                      grid_side: int, region_size: int, mm_dtype,
+                      eps: float = 1e-6,
+                      interpret: Optional[bool] = None):
+    b, n, c = x.shape
+    g, rs = grid_side, region_size
+    nrs = g // rs
+    p = rs * rs
+    k = phi.shape[1]
+    cb = _grid_cb(nrs, rs, c, x.dtype.itemsize)
+    if interpret is None:
+        interpret = env_interpret()
+    xg = x.reshape(b, g, g, c)
+    mg = mask.astype(x.dtype).reshape(b, g, g, 1)
+    phi_t = phi.astype(jnp.float32).T
+    drg = dreps.reshape(b, nrs, nrs, k, c)
+    dwg = dw.reshape(b, nrs, nrs, k, p)
+
+    x_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, rs, cb * rs, 1),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    phi_spec = pl.BlockSpec((k, c), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((1, 1, cb, k, c),
+                             lambda bi, i, j: (bi, i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 1, cb, k, p),
+                          lambda bi, i, j: (bi, i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    dx, dls, dlb, dphi_t = pl.pallas_call(
+        functools.partial(_cgrid_bwd_kernel, mm_dtype=jnp.dtype(mm_dtype),
+                          eps=eps),
+        grid=(b, nrs, nrs // cb),
+        in_specs=[x_spec, m_spec, vec_spec, vec_spec, phi_spec, reps_spec,
+                  w_spec],
+        out_specs=(x_spec, vec_spec, vec_spec, phi_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, g, g, c), x.dtype),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((k, c), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * nrs * nrs * k * p * c,
+            bytes_accessed=2 * b * n * c * x.dtype.itemsize,
+            transcendentals=2 * b * nrs * nrs * k * p),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xg, mg, ln_s.astype(jnp.float32).reshape(1, c),
+      ln_b.astype(jnp.float32).reshape(1, c), phi_t, drg, dwg)
+    return (dx.reshape(b, n, c),
+            dls.reshape(ln_s.shape).astype(ln_s.dtype),
+            dlb.reshape(ln_b.shape).astype(ln_b.dtype),
+            dphi_t.T.astype(phi.dtype))
+
+
 def _cgrid_bwd(grid_side, region_size, mm_dtype, res, g):
     x, mask, ln_s, ln_b, phi = res
+    nrs = grid_side // region_size
+    if (os.environ.get("RRTMIL_FUSED_CRMSA_BWD", "1") != "0"
+            and crmsa_fusable_geometry(nrs, region_size, x.shape[-1],
+                                       x.dtype.itemsize)):
+        dreps, dw = g
+        dx, dls, dlb, dphi = _cgrid_bwd_pallas(
+            x, mask, ln_s, ln_b, phi, dreps, dw, grid_side=grid_side,
+            region_size=region_size, mm_dtype=mm_dtype)
+        return dx, None, dls, dlb, dphi
     _, vjp = jax.vjp(
         lambda x_, ls_, lb_, p_: _compress_grid_ref(
             x_, mask, ls_, lb_, p_, grid_side=grid_side,
@@ -478,8 +646,84 @@ def _rgrid_fwd(x, mask, w, reps, grid_side, region_size, add_residual,
     return out, (x, mask, w, reps)
 
 
+def _rgrid_bwd_kernel(g_ref, m_ref, w_ref, reps_ref, dw_ref, dreps_ref,
+                      *, mm_dtype):
+    """Backward of _redistribute_grid_kernel: out_r = w^T reps (masked,
+    reversed, + residual).  dx is the upstream g itself (handled by the
+    wrapper); here one pass computes dw = reps . g_r and dreps = w . g_r."""
+    _, rs, wd, c = g_ref.shape
+    cb = wd // rs
+    p = rs * rs
+    mflat = m_ref[0].astype(jnp.float32).reshape(rs * wd, 1)
+    gm = (g_ref[0].astype(jnp.float32).reshape(rs * wd, c)
+          * mflat).astype(mm_dtype)
+    g_r = gm.reshape(rs, cb, rs, c).transpose(1, 0, 2, 3).reshape(cb, p, c)
+    dw_ref[0, 0] = jax.lax.dot_general(
+        reps_ref[0, 0].astype(mm_dtype), g_r, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, P)
+    dreps_ref[0, 0] = jax.lax.dot_general(
+        w_ref[0, 0].astype(mm_dtype), g_r, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, C)
+
+
+def _rgrid_bwd_pallas(mask, w, reps, g, *, grid_side: int,
+                      region_size: int, mm_dtype,
+                      interpret: Optional[bool] = None):
+    b, n, c = g.shape
+    gs, rs = grid_side, region_size
+    nrs = gs // rs
+    p = rs * rs
+    k = w.shape[2]
+    cb = _grid_cb(nrs, rs, c, g.dtype.itemsize)
+    if interpret is None:
+        interpret = env_interpret()
+    gg = g.reshape(b, gs, gs, c)
+    mg = mask.astype(g.dtype).reshape(b, gs, gs, 1)
+    wg = w.reshape(b, nrs, nrs, k, p)
+    rg = reps.reshape(b, nrs, nrs, k, c)
+
+    x_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, rs, cb * rs, 1),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 1, cb, k, p),
+                          lambda bi, i, j: (bi, i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((1, 1, cb, k, c),
+                             lambda bi, i, j: (bi, i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dw, dreps = pl.pallas_call(
+        functools.partial(_rgrid_bwd_kernel, mm_dtype=jnp.dtype(mm_dtype)),
+        grid=(b, nrs, nrs // cb),
+        in_specs=[x_spec, m_spec, w_spec, reps_spec],
+        out_specs=(w_spec, reps_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, nrs, nrs, k, p), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nrs, nrs, k, c), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nrs * nrs * k * p * c,
+            bytes_accessed=b * n * c * g.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(gg, mg, wg, rg)
+    nr = nrs * nrs
+    return dw.reshape(b, nr, k, p), dreps.reshape(b, nr, k, c)
+
+
 def _rgrid_bwd(grid_side, region_size, add_residual, mm_dtype, res, g):
     x, mask, w, reps = res
+    nrs = grid_side // region_size
+    if (os.environ.get("RRTMIL_FUSED_CRMSA_BWD", "1") != "0"
+            and crmsa_fusable_geometry(nrs, region_size, x.shape[-1],
+                                       x.dtype.itemsize)):
+        dw, dreps = _rgrid_bwd_pallas(mask, w, reps, g,
+                                      grid_side=grid_side,
+                                      region_size=region_size,
+                                      mm_dtype=mm_dtype)
+        dx = g.astype(x.dtype) if add_residual else jnp.zeros_like(x)
+        return dx, None, dw.astype(w.dtype), dreps.astype(reps.dtype)
     _, vjp = jax.vjp(
         lambda x_, w_, r_: _redistribute_grid_ref(
             x_, mask, w_, r_, grid_side=grid_side, region_size=region_size,

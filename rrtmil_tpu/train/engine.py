@@ -143,6 +143,25 @@ class Engine:
             raise ValueError("ds_average requires a model that returns "
                              "max-instance logits (aux_mode='logits')")
 
+    def close(self) -> None:
+        """Release fold-scoped resources: the HBM bag cache (so the next
+        fold's bags never compete with this one's for the byte budget) and
+        the per-slide transfer executor (whose threads otherwise leak to
+        interpreter exit)."""
+        if self._dcache is not None:
+            self._dcache.clear()
+            self._dcache = None
+        if self._h2d_pool is not None:
+            self._h2d_pool.shutdown(wait=True)
+            self._h2d_pool = None
+
+    def __del__(self):
+        try:
+            if self._h2d_pool is not None:
+                self._h2d_pool.shutdown(wait=False)
+        except Exception:
+            pass
+
     def reseed(self, seed: int) -> None:
         """Re-pin the host RNG streams (fix_train_random: the reference
         re-runs seed_torch(args.seed) right before the epoch loop,
@@ -331,7 +350,9 @@ class Engine:
         if cache is not None:
             return self._make_batch_cached(dataset, indices, train, cache)
         x, mask, labels, spec = self._assemble_host(dataset, indices, train)
-        return (jnp.asarray(x), jnp.asarray(mask), jnp.asarray(labels), spec)
+        out = (jnp.asarray(x), jnp.asarray(mask), jnp.asarray(labels), spec)
+        self._mark_staged(x, out[:3])
+        return out
 
     def _device_cache(self):
         mode = self.cfg.device_cache
@@ -355,8 +376,9 @@ class Engine:
         if missing:
             x, mask, labels, spec = self._assemble_host(dataset, missing,
                                                         train)
-            for i, part in zip(missing,
-                               self._transfer_slides(x, mask, labels)):
+            parts = self._transfer_slides(x, mask, labels)
+            self._mark_staged(x, [a for p in parts for a in p])
+            for i, part in zip(missing, parts):
                 cache.put(dataset, i, *part, spec)
                 entries[i] = (*part, spec)
         specs = {e[3].key for e in entries.values()}
@@ -366,8 +388,9 @@ class Engine:
             # correct if a caller hand-builds a mixed batch
             x, mask, labels, spec = self._assemble_host(dataset, indices,
                                                         train)
-            return (jnp.asarray(x), jnp.asarray(mask), jnp.asarray(labels),
-                    spec)
+            out = (jnp.asarray(x), jnp.asarray(mask), jnp.asarray(labels))
+            self._mark_staged(x, out)
+            return (*out, spec)
         spec = entries[indices[0]][3]
         if len(indices) == 1:
             x1, m1, l1, _ = entries[indices[0]]
@@ -491,6 +514,12 @@ class Engine:
         buf = getattr(self._staging, "buf", None)
         key = getattr(self._staging, "key", None)
         if key == (b, rows, cols, dtype):
+            # a PJRT client may stage the H2D copy asynchronously; wait for
+            # every device array fed from this buffer before overwriting it
+            pending = getattr(self._staging, "pending", None)
+            if pending:
+                jax.block_until_ready(pending)
+                self._staging.pending = None
             return buf
         return None
 
@@ -500,6 +529,18 @@ class Engine:
         self._staging.buf = x
         self._staging.key = (x.shape[0], x.shape[1], x.shape[2],
                              str(x.dtype))
+
+    def _mark_staged(self, x_host, device_arrays) -> None:
+        """Record device arrays created from the reusable staging buffer so
+        _staging_buf can block on their transfers before handing the buffer
+        back to fill_batch (see ADVICE r4: async H2D staging semantics)."""
+        buf = getattr(self._staging, "buf", None)
+        if buf is None or not isinstance(x_host, np.ndarray):
+            return
+        if x_host is buf or x_host.base is buf:
+            pend = getattr(self._staging, "pending", None) or []
+            pend.extend(device_arrays)
+            self._staging.pending = pend
 
     def _batched_order(self, dataset, order: Sequence[int]) -> List[List[int]]:
         """Greedy bucket-aware batching that preserves the given order within

@@ -36,23 +36,15 @@ def make_optimizer(name: str = "adam", weight_decay: float = 1e-5) -> optax.Grad
     survival harness builds it (optimizer.py:19-20, alpha=0.5, k=6).
     """
     if name == "adam":
-        tx = optax.chain(
-            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        )
+        tx = scale_by_torch_adam(weight_decay=weight_decay)
     elif name == "adamw":
-        tx = optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
-        )
+        tx = scale_by_torch_adam(weight_decay=weight_decay, decoupled=True)
     elif name in ("radam", "plainradam"):
         # Identical math in the reference (RAdam only adds a step-size
         # cache); both use decoupled decay and the N_sma<5 momentum-only
         # fallback -- scale_by_ref_radam reproduces them bit-for-bit.
-        tx = optax.chain(
-            scale_by_ref_radam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
-        )
+        tx = scale_by_ref_radam(b1=0.9, b2=0.999, eps=1e-8,
+                                weight_decay=weight_decay)
     elif name == "sgd":
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
@@ -61,61 +53,139 @@ def make_optimizer(name: str = "adam", weight_decay: float = 1e-5) -> optax.Grad
     elif name == "lookahead":
         # reference define_optimizer: Lookahead(Adam(lr, wd)) with wrapper
         # defaults alpha=0.5, k=6 (optimizer.py:19-20,184)
-        return lookahead(optax.chain(
-            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)))
+        return lookahead(scale_by_torch_adam(weight_decay=weight_decay))
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     return optax.with_extra_args_support(tx)
 
 
+def _maybe_absent(path) -> bool:
+    """torch optimizers skip params with ``p.grad is None`` -- params ABSENT
+    from that step's autograd graph.  In the reference the only
+    structurally-absent params are CLAM's out-of-class instance classifiers
+    (clam.py:196-198 ``continue`` -- with zero_grad(set_to_none) their grad
+    stays None and Adam applies no decay, no moment update, no per-param
+    step increment).  JAX grads are never None; an absent leaf's gradient
+    is identically zero -- but so is the gradient of some PRESENT params at
+    degenerate geometries (single-token regions make the EPEG taps and the
+    whole CR-MSA branch exactly zero-grad, which torch still decays via
+    momentum/L2).  So the all-zero proxy is applied ONLY to leaves that can
+    be structurally absent, by parameter path."""
+    s = jax.tree_util.keystr(path)
+    return "instance_classifier" in s
+
+
+def _touched(path, g) -> jnp.ndarray:
+    if not _maybe_absent(path):
+        return jnp.asarray(True)
+    return jnp.any(g != 0)
+
+
+class TorchAdamState(NamedTuple):
+    mu: optax.Updates
+    nu: optax.Updates
+    count: optax.Updates      # per-LEAF step counts (torch state['step'])
+
+
+def scale_by_torch_adam(b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-8, weight_decay: float = 0.0,
+                        decoupled: bool = False) -> optax.GradientTransformationExtraArgs:
+    """torch Adam (L2) / AdamW (decoupled) semantics per parameter leaf,
+    including the grad-is-None skip (see _touched) and torch's PER-PARAM
+    step count for bias correction.  Returns u with p_new = p - lr*u."""
+
+    def init(params):
+        return TorchAdamState(
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+            count=jax.tree.map(lambda p: jnp.zeros((), jnp.int32), params))
+
+    def update(updates, state, params=None, **extra):
+        del extra
+        assert params is not None, "torch-adam needs params (weight decay)"
+
+        def leaf(path, g, p, m, v, t):
+            tc = _touched(path, g)
+            gw = g + weight_decay * p if (weight_decay and not decoupled) \
+                else g
+            m2 = jnp.where(tc, b1 * m + (1 - b1) * gw, m)
+            v2 = jnp.where(tc, b2 * v + (1 - b2) * gw * gw, v)
+            t2 = t + tc.astype(jnp.int32)
+            tf = jnp.maximum(t2.astype(jnp.float32), 1.0)
+            # torch Adam: denom = sqrt(v)/sqrt(1-b2^t) + eps;
+            # u = m / denom / (1-b1^t)
+            denom = jnp.sqrt(v2) / jnp.sqrt(1.0 - b2 ** tf) + eps
+            u = m2 / denom / (1.0 - b1 ** tf)
+            if weight_decay and decoupled:
+                u = u + weight_decay * p
+            return jnp.where(tc, u, jnp.zeros_like(u)), m2, v2, t2
+
+        out = jax.tree_util.tree_map_with_path(
+            leaf, updates, params, state.mu, state.nu, state.count)
+        pick = lambda i: jax.tree.map(
+            lambda o: o[i], out, is_leaf=lambda x: isinstance(x, tuple))
+        return pick(0), TorchAdamState(mu=pick(1), nu=pick(2),
+                                       count=pick(3))
+
+    return optax.GradientTransformationExtraArgs(
+        init, lambda u, s, p=None, **e: update(u, s, p, **e))
+
+
 def scale_by_ref_radam(b1: float = 0.9, b2: float = 0.999,
-                       eps: float = 1e-8) -> optax.GradientTransformation:
+                       eps: float = 1e-8, weight_decay: float = 0.0
+                       ) -> optax.GradientTransformationExtraArgs:
     """The reference's RAdam update direction, bit-exact
     (Survival/utils/optimizer.py:26-106 == PlainRAdam:109-170 modulo a
     host-side step-size cache).
 
     Differences from optax.scale_by_radam that matter for trajectory parity:
     the eps is added to sqrt(nu) BEFORE the 1/sqrt(1-b2^t) bias correction
-    (optimizer.py:97), and weight decay is handled outside (decoupled).
+    (optimizer.py:97), weight decay is DECOUPLED and applied only to
+    touched params (optimizer.py:56 ``if p.grad is None: continue``,
+    :89-90), and the step count is per-param (torch state['step']).
     Returns u with p_new = p - lr*u."""
 
     def init(params):
         return {"mu": jax.tree.map(jnp.zeros_like, params),
                 "nu": jax.tree.map(jnp.zeros_like, params),
-                "count": jnp.zeros((), jnp.int32)}
+                "count": jax.tree.map(
+                    lambda p: jnp.zeros((), jnp.int32), params)}
 
-    def update(updates, state, params=None):
-        del params
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
-                          state["mu"], updates)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                          state["nu"], updates)
-        t = state["count"] + 1
-        tf = t.astype(jnp.float32)
-        b2t = b2 ** tf
-        b1t = b1 ** tf
+    def update(updates, state, params=None, **extra):
+        del extra
         n_sma_max = 2.0 / (1.0 - b2) - 1.0
-        n_sma = n_sma_max - 2.0 * tf * b2t / (1.0 - b2t)
-        rect = jnp.sqrt((1.0 - b2t) * (n_sma - 4.0) / (n_sma_max - 4.0)
-                        * (n_sma - 2.0) / n_sma
-                        * n_sma_max / (n_sma_max - 2.0)) / (1.0 - b1t)
-        plain = 1.0 / (1.0 - b1t)
-        use_rect = n_sma >= 5.0
-        # guard: rect's sqrt is NaN while n_sma < 5 -- select inputs, not
-        # outputs, would still propagate NaN through jnp.where's other
-        # branch's gradient; fine here (no grad through opt state)
-        rect = jnp.where(use_rect, rect, 0.0)
 
-        def leaf(m, v):
-            rectified = rect * m / (jnp.sqrt(v) + eps)
-            momentum = plain * m
-            return jnp.where(use_rect, rectified, momentum)
+        def leaf(path, g, p, m, v, t):
+            tc = _touched(path, g)
+            m2 = jnp.where(tc, b1 * m + (1 - b1) * g, m)
+            v2 = jnp.where(tc, b2 * v + (1 - b2) * g * g, v)
+            t2 = t + tc.astype(jnp.int32)
+            tf = jnp.maximum(t2.astype(jnp.float32), 1.0)
+            b2t = b2 ** tf
+            b1t = b1 ** tf
+            n_sma = n_sma_max - 2.0 * tf * b2t / (1.0 - b2t)
+            rect = jnp.sqrt((1.0 - b2t) * (n_sma - 4.0) / (n_sma_max - 4.0)
+                            * (n_sma - 2.0) / n_sma
+                            * n_sma_max / (n_sma_max - 2.0)) / (1.0 - b1t)
+            plain = 1.0 / (1.0 - b1t)
+            use_rect = n_sma >= 5.0
+            # guard: rect's sqrt is NaN while n_sma < 5
+            rect = jnp.where(use_rect, rect, 0.0)
+            u = jnp.where(use_rect, rect * m2 / (jnp.sqrt(v2) + eps),
+                          plain * m2)
+            if weight_decay and params is not None:
+                u = u + weight_decay * p
+            return jnp.where(tc, u, jnp.zeros_like(u)), m2, v2, t2
 
-        upd = jax.tree.map(leaf, mu, nu)
-        return upd, {"mu": mu, "nu": nu, "count": t}
+        p_tree = params if params is not None else updates
+        out = jax.tree_util.tree_map_with_path(
+            leaf, updates, p_tree, state["mu"], state["nu"], state["count"])
+        pick = lambda i: jax.tree.map(
+            lambda o: o[i], out, is_leaf=lambda x: isinstance(x, tuple))
+        return pick(0), {"mu": pick(1), "nu": pick(2), "count": pick(3)}
 
-    return optax.GradientTransformation(init, update)
+    return optax.GradientTransformationExtraArgs(
+        init, lambda u, s, p=None, **e: update(u, s, p, **e))
 
 
 def cosine_lr(base_lr: float, t: int, t_max: int, eta_min: float = 0.0) -> float:

@@ -79,6 +79,13 @@ class SurvivalEngine:
             self._dcache = DeviceBagCache(self.cfg.device_cache_bytes)
         return self._dcache
 
+    def close(self) -> None:
+        """Free the fold's HBM bag cache (fold-parallel engines share one
+        cache; closing any of them after the joint run releases it)."""
+        if self._dcache is not None:
+            self._dcache.clear()
+            self._dcache = None
+
     def _prep_indexed(self, dataset, idx: int):
         """(x, mask, spec, event, censorship, label) for one bag, serving
         x/mask from the device cache when possible (metadata comes from the

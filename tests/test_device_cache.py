@@ -140,6 +140,61 @@ def test_cache_key_isolation_and_drop():
     assert cache.get(ds_a, 0) is None and cache.used == 0
 
 
+def test_mem_paths_never_collide_across_datasets():
+    """ArrayDataset fabricates 'mem://{i}' slide paths; two distinct
+    in-memory datasets sharing one cache must NOT serve each other's bags
+    (ADVICE r4 medium: path-keyed entries trusted any string as an on-disk
+    identity)."""
+    from rrtmil_tpu.data.datasets import ArrayDataset
+    cache = DeviceBagCache(budget_bytes=1 << 20)
+    ds_a = ArrayDataset([np.zeros((8, 4), np.float32)], [0])
+    ds_b = ArrayDataset([np.ones((8, 4), np.float32)], [1])
+    assert ds_a.slide_path[0] == ds_b.slide_path[0] == "mem://0"
+    xa = jnp.zeros((1, 8, 4))
+    cache.put(ds_a, 0, xa, jnp.ones((1, 8), bool), jnp.zeros((1,), jnp.int32),
+              spec="s")
+    assert cache.get(ds_b, 0) is None          # no cross-dataset hit
+    assert cache.get(ds_a, 0) is not None
+    cache.drop_dataset(ds_a)
+    assert cache.get(ds_a, 0) is None and cache.used == 0
+
+
+def test_survival_resolved_path_keys():
+    """Two survival views with different folder/root must key the same CSV
+    row differently; identical resolution shares the entry (ADVICE r4)."""
+    from rrtmil_tpu.data.survival import ArraySurvivalDataset
+    cache = DeviceBagCache(budget_bytes=1 << 20)
+
+    class FakeSurv:
+        keep_same_psize = 0
+
+        def __init__(self, folder, root):
+            self.folder, self.root = folder, root
+            self.wsi_paths = ["a/resnet50/x.npy"]
+
+        def __len__(self):
+            return 1
+
+        def resolved_path(self, i):
+            import os
+            p = self.wsi_paths[i].replace("resnet50", self.folder)
+            return os.path.join(self.root, p)
+
+    ds1, ds2 = FakeSurv("plip", "/r1"), FakeSurv("resnet50", "/r2")
+    ds3 = FakeSurv("plip", "/r1")
+    x = jnp.zeros((1, 8, 4))
+    m, y = jnp.ones((1, 8), bool), jnp.zeros((1,), jnp.int32)
+    cache.put(ds1, 0, x, m, y, spec="s")
+    assert cache.get(ds2, 0) is None           # different resolution
+    assert cache.get(ds3, 0) is not None       # same resolution shares
+    # in-memory survival bags fall back to id-keyed entries
+    bags = [np.zeros((8, 4), np.float32)]
+    mem1 = ArraySurvivalDataset(bags, [50.0], [1])
+    mem2 = ArraySurvivalDataset(bags, [50.0], [1])
+    cache.put(mem1, 0, x, m, y, spec="s")
+    assert cache.get(mem2, 0) is None
+
+
 def test_survival_engine_cache_parity():
     """Survival engine: cached train/validate trajectories must equal the
     uncached ones exactly (same bags, same RNG stream)."""

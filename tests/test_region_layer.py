@@ -147,6 +147,63 @@ def test_translayer_fused_grads_match():
         os.environ.pop("RRTMIL_FUSED_LAYER", None)
 
 
+@pytest.mark.parametrize("kk,add_residual,unroll",
+                         [(9, True, True), (9, False, True), (0, True, True),
+                          (9, True, False)])
+def test_layer_bwd_kernel_matches_vjp(kk, add_residual, unroll):
+    """Fused Pallas layer backward (r5): every gradient -- dx, LN, qkv,
+    EPEG taps, out-proj -- must match jax.vjp of the XLA composition at
+    fp32 tolerance.  dbk/dpb are mathematically zero (key-constant logit
+    shifts cancel in the row softmax), so both sides return only fp noise
+    there -- compared with atol."""
+    from rrtmil_tpu.ops.pallas.region_layer import _layer_bwd_pallas
+    os.environ["RRTMIL_PALLAS_INTERPRET"] = "1"
+    if not unroll:
+        os.environ["RRTMIL_LAYER_BWD_UNROLL"] = "0"
+    try:
+        g_side, rs, b = 16, 8, 2
+        x = jax.random.normal(jax.random.PRNGKey(42), (b, g_side * g_side,
+                                                       512), jnp.float32)
+        mask = jnp.broadcast_to(jnp.arange(g_side * g_side)[None] < 200,
+                                (b, g_side * g_side))
+        args = _weights(kk=kk)
+        (ln_s, ln_b, wq, wk, wv, bq, bk, bv, pw, pb, wp, bp) = args
+        g_out = jax.random.normal(jax.random.PRNGKey(7), x.shape,
+                                  jnp.float32) * 0.1
+
+        def f(x_, ls_, lb_, wq_, wk_, wv_, bq_, bk_, bv_, wp_, bp_,
+              pw_=None, pb_=None):
+            return _layer_ref(x_, mask, ls_, lb_, wq_, wk_, wv_, bq_, bk_,
+                              bv_, pw_, pb_, wp_, bp_, grid_side=g_side,
+                              region_size=rs, add_residual=add_residual,
+                              mm_dtype=jnp.float32)
+
+        diff = (x, ln_s, ln_b, wq, wk, wv, bq, bk, bv, wp, bp)
+        if pw is None:
+            _, vjp = jax.vjp(f, *diff)
+            w_ = vjp(g_out)
+            want = w_[:9] + (None, None) + w_[9:]
+        else:
+            _, vjp = jax.vjp(f, *diff, pw, pb)
+            w_ = vjp(g_out)
+            want = w_[:9] + (w_[11], w_[12]) + (w_[9], w_[10])
+
+        got = _layer_bwd_pallas(x, mask, *args, g_out, grid_side=g_side,
+                                region_size=rs, add_residual=add_residual,
+                                mm_dtype=jnp.float32, interpret=True)
+        names = ["dx", "dls", "dlb", "dwq", "dwk", "dwv", "dbq", "dbk",
+                 "dbv", "dpw", "dpb", "dwp", "dbp"]
+        for nm, gg, ww in zip(names, got, want):
+            if ww is None:
+                assert gg is None, nm
+                continue
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                       atol=5e-5, rtol=1e-3, err_msg=nm)
+    finally:
+        del os.environ["RRTMIL_PALLAS_INTERPRET"]
+        os.environ.pop("RRTMIL_LAYER_BWD_UNROLL", None)
+
+
 def test_translayer_train_mode_applies_dropout_outside():
     """With proj-dropout active the kernel returns the no-residual branch;
     train-mode output must differ from eval and stay finite."""
@@ -169,6 +226,61 @@ def test_translayer_train_mode_applies_dropout_outside():
         pad = ~np.asarray(mask[0])
         np.testing.assert_allclose(np.asarray(out_tr)[0, pad],
                                    np.asarray(x)[0, pad], atol=1e-6)
+    finally:
+        del os.environ["RRTMIL_PALLAS_INTERPRET"]
+
+
+def test_crmsa_grid_bwd_kernels_match_vjp():
+    """Fused CR-MSA grid backwards (r5): compress (LN+phi dual-softmax
+    min-max) and redistribute grads vs jax.vjp of the XLA composition."""
+    from rrtmil_tpu.ops.pallas import crmsa_kernels as CK
+    os.environ["RRTMIL_PALLAS_INTERPRET"] = "1"
+    try:
+        g_side, rs, b, c, k = 16, 8, 2, 512, 3
+        nrs = g_side // rs
+        p = rs * rs
+        nr = nrs * nrs
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (b, g_side * g_side, c), jnp.float32)
+        mask = jnp.broadcast_to(jnp.arange(g_side * g_side)[None] < 200,
+                                (b, g_side * g_side))
+        ls = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (c,))
+        lb = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (c,))
+        phi = 0.3 * jax.random.normal(jax.random.fold_in(key, 3), (c, k))
+        dreps = 0.1 * jax.random.normal(jax.random.fold_in(key, 4),
+                                        (b, nr, k, c))
+        dwg = 0.1 * jax.random.normal(jax.random.fold_in(key, 5),
+                                      (b, nr, k, p))
+
+        _, vjp = jax.vjp(lambda x_, ls_, lb_, p_: CK._compress_grid_ref(
+            x_, mask, ls_, lb_, p_, grid_side=g_side, region_size=rs,
+            mm_dtype=jnp.float32), x, ls, lb, phi)
+        want = vjp((dreps, dwg))
+        got = CK._cgrid_bwd_pallas(x, mask, ls, lb, phi, dreps, dwg,
+                                   grid_side=g_side, region_size=rs,
+                                   mm_dtype=jnp.float32, interpret=True)
+        for nm, gg, ww in zip(["dx", "dls", "dlb", "dphi"], got, want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                       atol=5e-5, rtol=1e-3, err_msg=nm)
+
+        w_in = jax.nn.softmax(jax.random.normal(jax.random.fold_in(key, 6),
+                                                (b, nr, k, p)))
+        reps_in = jax.random.normal(jax.random.fold_in(key, 7),
+                                    (b, nr, k, c))
+        gout = 0.1 * jax.random.normal(jax.random.fold_in(key, 8), x.shape)
+        _, vjp2 = jax.vjp(lambda x_, w_, r_: CK._redistribute_grid_ref(
+            x_, mask, w_, r_, grid_side=g_side, region_size=rs,
+            add_residual=True, mm_dtype=jnp.float32), x, w_in, reps_in)
+        wx, wwt, wrp = vjp2(gout)
+        dw2, dreps2 = CK._rgrid_bwd_pallas(
+            mask, w_in, reps_in, gout, grid_side=g_side, region_size=rs,
+            mm_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(dw2), np.asarray(wwt),
+                                   atol=5e-5, rtol=1e-3, err_msg="dw")
+        np.testing.assert_allclose(np.asarray(dreps2), np.asarray(wrp),
+                                   atol=5e-5, rtol=1e-3, err_msg="dreps")
+        np.testing.assert_allclose(np.asarray(gout), np.asarray(wx),
+                                   atol=0, err_msg="dx == g (residual)")
     finally:
         del os.environ["RRTMIL_PALLAS_INTERPRET"]
 

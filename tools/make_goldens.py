@@ -710,6 +710,148 @@ def gen_train_long():
          meta={"num_epochs": num_epochs})
 
 
+def gen_train_clam():
+    """CLAM_SB training trajectory: the aux-loss path of the reference
+    train_loop (main.py:445-457) with the post-parse-forced 0.7 CE / 0.3
+    SmoothTop1SVM weights (main.py:719-726), torch Adam (lr 2e-4, wd 1e-5)
+    + per-epoch CosineAnnealingLR -- 5 epochs x 8 bags = 40 optimizer
+    steps, dropout off.  Validates grads through the instance-eval top-k
+    sampling and the SmoothTop1SVM detect_large switch end-to-end."""
+    seeded()
+    rng = np.random.default_rng(11)
+    dim = 64
+    bags, labels = [], []
+    for i in range(8):
+        n = int(rng.integers(80, 280))
+        bag = rng.normal(size=(n, dim)).astype(np.float32)
+        if i % 2:
+            bag[: max(8, n // 8)] += 1.5
+        bags.append(bag)
+        labels.append(i % 2)
+    mod = ref_clam.CLAM_SB(input_dim=dim, n_classes=2, dropout=0.0).train()
+    params0 = _clam_common(mod, False)
+    optimizer = torch.optim.Adam(mod.parameters(), lr=2e-4, weight_decay=1e-5)
+    num_epochs = 5
+    scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        optimizer, num_epochs, 0)
+    criterion = nn.CrossEntropyLoss()
+    losses, logit_losses, inst_losses, logits_hist = [], [], [], []
+    for _ in range(num_epochs):
+        for bag, label in zip(bags, labels):
+            optimizer.zero_grad()
+            lbl = torch.tensor([label])
+            logits, inst_loss, _ps = mod(torch.from_numpy(bag)[None], lbl,
+                                         criterion)
+            logit_loss = criterion(logits.view(1, -1), lbl)
+            loss = 0.7 * logit_loss + 0.3 * inst_loss
+            loss.backward()
+            optimizer.step()
+            losses.append(loss.item())
+            logit_losses.append(logit_loss.item())
+            inst_losses.append(float(inst_loss))
+            logits_hist.append(t2n(logits))
+        scheduler.step()
+    save("train_clam", {f"bag{i}": b for i, b in enumerate(bags)}, params0,
+         {"losses": np.asarray(losses, np.float64),
+          "logit_losses": np.asarray(logit_losses, np.float64),
+          "inst_losses": np.asarray(inst_losses, np.float64),
+          "logits": np.concatenate(logits_hist, 0),
+          "labels": np.asarray(labels)},
+         meta={"num_epochs": num_epochs})
+
+
+def _load_ref_module(name, path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def gen_train_surv():
+    """Survival training trajectories: the vendored RRT network
+    (Survival/models/RRTMIL/network.py:753-794, region_num=16 per
+    Survival/main.py:125) + NLLSurvLoss(alpha=0) + per-epoch
+    CosineAnnealingLR, once with RAdam and once with Lookahead(Adam)
+    (Survival/utils/optimizer.py:14-20), reproducing Engine.train's
+    backward/step/zero order (Survival/models/RRTMIL/engine.py:62-94).
+    4 epochs x 8 bags; per-epoch val losses and risk scores recorded
+    (risk = -sum(S), engine.py:79)."""
+    surv_net = _load_ref_module(
+        "surv_rrt_network", "/root/reference/Survival/models/RRTMIL/network.py")
+    surv_loss = _load_ref_module(
+        "surv_loss", "/root/reference/Survival/utils/loss.py")
+    surv_opt = _load_ref_module(
+        "surv_optimizer", "/root/reference/Survival/utils/optimizer.py")
+
+    rng = np.random.default_rng(13)
+    dim = 64
+    n_bags, n_val = 8, 5
+    bags, events, cens, ybin = [], [], [], []
+    for i in range(n_bags + n_val):
+        n = int(rng.integers(400, 900))
+        risk = rng.uniform()
+        bag = rng.normal(size=(n, dim)).astype(np.float32)
+        bag[: max(8, n // 10)] += 1.2 * risk
+        bags.append(bag)
+        events.append(float(2000 * (1.05 - risk)))
+        cens.append(int(rng.uniform() < 0.3))
+        ybin.append(int(min(3, risk * 4)))
+
+    criterion = surv_loss.NLLSurvLoss(alpha=0.0)
+    num_epochs = 4
+    out = {}
+    for opt_name in ("radam", "lookahead"):
+        seeded()
+        mod = surv_net.RRT(input_dim=dim, n_classes=4, region_num=16,
+                           epeg_k=15, crmsa_k=3, dropout=0.0,
+                           trans_dropout=0.0).train()
+        if opt_name == "radam":
+            optimizer = surv_opt.RAdam(mod.parameters(), lr=2e-4,
+                                       weight_decay=1e-5)
+        else:
+            optimizer = surv_opt.Lookahead(
+                torch.optim.Adam(mod.parameters(), lr=2e-4,
+                                 weight_decay=1e-5))
+        scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+            optimizer, num_epochs, 0)
+        params0 = rrtmil_params(mod)
+        losses, val_losses, val_risks = [], [], []
+        for _ in range(num_epochs):
+            mod.train()
+            for i in range(n_bags):
+                hazards, S = mod(torch.from_numpy(bags[i])[None])
+                loss = criterion(hazards=hazards, S=S,
+                                 Y=torch.tensor([ybin[i]]),
+                                 c=torch.tensor([float(cens[i])]))
+                loss.backward()
+                optimizer.step()
+                optimizer.zero_grad()
+                losses.append(loss.item())
+            mod.eval()
+            vl, vr = 0.0, []
+            with torch.no_grad():
+                for i in range(n_bags, n_bags + n_val):
+                    hazards, S = mod(torch.from_numpy(bags[i])[None])
+                    vl += criterion(hazards=hazards, S=S,
+                                    Y=torch.tensor([ybin[i]]),
+                                    c=torch.tensor([float(cens[i])])).item()
+                    vr.append(float(-S.sum().item()))
+            val_losses.append(vl / n_val)
+            val_risks.append(vr)
+            scheduler.step()
+        out[f"{opt_name}_losses"] = np.asarray(losses, np.float64)
+        out[f"{opt_name}_val_losses"] = np.asarray(val_losses, np.float64)
+        out[f"{opt_name}_val_risks"] = np.asarray(val_risks, np.float64)
+        if opt_name == "radam":
+            surv_params0 = params0
+    save("train_surv", {f"bag{i}": b for i, b in enumerate(bags)},
+         surv_params0,
+         dict(out, events=np.asarray(events), cens=np.asarray(cens),
+              ybin=np.asarray(ybin)),
+         meta={"num_epochs": num_epochs, "n_train": n_bags, "n_val": n_val})
+
+
 def _pin_manifest():
     """Record file -> sha256 for every fixture (tests/golden_utils verifies
     this once per process; VERDICT r3 missing #3)."""
@@ -731,6 +873,8 @@ def main():
         return
     gen_train_steps()
     gen_train_long()
+    gen_train_clam()
+    gen_train_surv()
     gen_topk_svm()
     gen_attmil()
     gen_attmil_rrt()
