@@ -488,20 +488,67 @@ class _RegionAttentionParams(nn.Module):
         return _InnerAttentionParams(self.cfg, name="attn")(c)
 
 
+def fused_crmsa_ok(cfg, x, mask, length: int) -> bool:
+    """True when a TransLayer with this TransLayerConfig will dispatch its
+    CR-MSA branch to the fused grid kernels.  Free function so RRTEncoder
+    can decide (identically) whether to hand the layer its final-LayerNorm
+    params for fusion into the redistribution's stream write."""
+    if cfg.attn_mode != "crmsa" or mask is None:
+        return False
+    cr = cfg.crmsa
+    if cr.crmsa_mlp or cr.region.sp_shards != 1:
+        return False
+    a = cr.attn
+    if not (a.backend == "pallas"
+            or (a.backend == "auto" and _on_tpu())):
+        return False
+    if os.environ.get("RRTMIL_FUSED_CRMSA_LAYER", "1") == "0":
+        return False
+    geom = grid_geometry(length, cr.region)
+    if x.shape[1] != geom.padded_length:
+        return False
+    from ..ops.pallas.crmsa_kernels import crmsa_fusable_geometry
+    return crmsa_fusable_geometry(geom.region_num, geom.region_size,
+                                  x.shape[-1],
+                                  jnp.dtype(x.dtype).itemsize)
+
+
+def _apply_final_ln(x, mask, scale, bias, eps: float = 1e-6):
+    """Encoder-final LayerNorm + mask on explicit params (the fallback for
+    a final_ln the fused CR-MSA path could not consume); matches
+    nn.LayerNorm(dtype=fp32) fast-variance semantics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mu * mu)
+    z = (xf - mu) * jax.lax.rsqrt(var + eps)
+    z = z * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if mask is not None:
+        z = z * mask[..., None].astype(jnp.float32)
+    return z
+
+
 class _CRMSAFusedAttn(nn.Module):
     """CrossRegionAttention with the stream-touching halves fused: the
     LN/mask/partition-fused compression and the reverse/mask/residual-fused
     redistribution (ops/pallas/crmsa_kernels.py grid kernels) around the
     regular tiny cross-region InnerAttention.  Parameter tree ('phi' +
-    'attn'/...) matches CrossRegionAttention."""
+    'attn'/...) matches CrossRegionAttention.
+
+    `final_ln=(scale, bias)` additionally fuses the ENCODER-FINAL
+    LayerNorm + mask into the redistribution's stream write (the CR-MSA
+    layer is the last encoder layer, reference modules/rrt.py:190-195);
+    the return value is then the fp32 encoder output."""
 
     cfg: CRMSAConfig
 
     @nn.compact
     def __call__(self, x, mask, ln_s, ln_b, length: int,
-                 deterministic: bool, add_residual: bool):
+                 deterministic: bool, add_residual: bool, final_ln=None,
+                 final_shortcut=None):
         from ..ops.pallas.crmsa_kernels import (crmsa_compress_grid,
-                                                crmsa_redistribute_grid)
+                                                crmsa_redistribute_grid,
+                                                crmsa_redistribute_grid_ln)
         cfg = self.cfg
         b, n, c = x.shape
         geom = grid_geometry(length, cfg.region)
@@ -516,6 +563,11 @@ class _CRMSAFusedAttn(nn.Module):
             reps, deterministic=deterministic)
         reps = reps.reshape(b, kk, nr, c).transpose(0, 2, 1, 3) \
                    .astype(jnp.float32)
+        if final_ln is not None:
+            assert add_residual
+            return crmsa_redistribute_grid_ln(
+                x, mask, w, reps, final_ln[0], final_ln[1], final_shortcut,
+                geom.grid, geom.region_size, mmd)
         return crmsa_redistribute_grid(x, mask, w, reps, geom.grid,
                                        geom.region_size, add_residual, mmd)
 
@@ -605,43 +657,32 @@ class TransLayer(nn.Module):
         return out
 
     def _fused_crmsa_ok(self, x, mask, length: int) -> bool:
-        cfg = self.cfg
-        if cfg.attn_mode != "crmsa" or mask is None:
-            return False
-        cr = cfg.crmsa
-        if cr.crmsa_mlp or cr.region.sp_shards != 1:
-            return False
-        a = cr.attn
-        if not (a.backend == "pallas"
-                or (a.backend == "auto" and _on_tpu())):
-            return False
-        if os.environ.get("RRTMIL_FUSED_CRMSA_LAYER", "1") == "0":
-            return False
-        geom = grid_geometry(length, cr.region)
-        if x.shape[1] != geom.padded_length:
-            return False
-        from ..ops.pallas.crmsa_kernels import crmsa_fusable_geometry
-        return crmsa_fusable_geometry(geom.region_num, geom.region_size,
-                                      x.shape[-1],
-                                      jnp.dtype(x.dtype).itemsize)
+        return fused_crmsa_ok(self.cfg, x, mask, length)
 
     def _fused_crmsa_branch(self, x, mask, length: int,
-                            deterministic: bool):
+                            deterministic: bool, final_ln=None,
+                            final_shortcut=None):
         cfg = self.cfg
         c = x.shape[-1]
         scale, bias = LayerNormParams(c, name="norm")()
         outside = (not deterministic) and cfg.drop_path > 0
         out = _CRMSAFusedAttn(cfg.crmsa, name="attn")(
             x, mask, scale, bias, length, deterministic,
-            not outside)
+            not outside, final_ln=None if outside else final_ln,
+            final_shortcut=None if outside else final_shortcut)
         if outside:
-            return x + DropPath(cfg.drop_path, name="drop_path")(
+            out = x + DropPath(cfg.drop_path, name="drop_path")(
                 out, deterministic=False)
+            if final_ln is not None:
+                if final_shortcut is not None:
+                    out = out + final_shortcut
+                out = _apply_final_ln(out, mask, *final_ln)
         return out
 
     @nn.compact
     def __call__(self, x, mask=None, length: Optional[int] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, final_ln=None,
+                 final_shortcut=None):
         cfg = self.cfg
         m = None if mask is None else mask[..., None].astype(x.dtype)
         length_r = x.shape[1] if length is None else length
@@ -650,9 +691,16 @@ class TransLayer(nn.Module):
         fused_crmsa = (not fused_rmsa
                        and self._fused_crmsa_ok(x, mask, length_r))
         if fused_rmsa or fused_crmsa:
+            # final_ln rides the fused CR-MSA stream write only when no FFN
+            # follows it; otherwise it is applied after the FFN below
+            ln_inside = (fused_crmsa and not cfg.ffn
+                         and final_ln is not None)
             x = (self._fused_rmsa_branch(x, mask, length_r, deterministic)
                  if fused_rmsa else
-                 self._fused_crmsa_branch(x, mask, length_r, deterministic))
+                 self._fused_crmsa_branch(
+                     x, mask, length_r, deterministic,
+                     final_ln=final_ln if ln_inside else None,
+                     final_shortcut=final_shortcut if ln_inside else None))
             if cfg.ffn:
                 z = nn.LayerNorm(name="norm2")(x)
                 z = Mlp(int(cfg.dim * cfg.mlp_ratio), cfg.dim, cfg.ffn_act,
@@ -662,6 +710,10 @@ class TransLayer(nn.Module):
                     z = z * m
                 x = x + DropPath(cfg.drop_path, name="drop_path_ffn")(
                     z, deterministic=deterministic)
+            if final_ln is not None and not ln_inside:
+                if final_shortcut is not None:
+                    x = x + final_shortcut
+                x = _apply_final_ln(x, mask, *final_ln)
             return x
 
         z = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
@@ -695,6 +747,10 @@ class TransLayer(nn.Module):
                 z = z * m
             x = x + DropPath(cfg.drop_path, name="drop_path_ffn")(
                 z, deterministic=deterministic)
+        if final_ln is not None:
+            if final_shortcut is not None:
+                x = x + final_shortcut
+            x = _apply_final_ln(x, mask, *final_ln)
         return x
 
 
@@ -732,7 +788,26 @@ class RRTEncoder(nn.Module):
                 x, mask=mask, length=length, deterministic=deterministic)
 
         if cfg.cr_msa:
-            x = TransLayer(cfg.crmsa_layer(), name="cr_msa")(
+            cl = cfg.crmsa_layer()
+            # Hand the final-LayerNorm params to the CR-MSA layer when its
+            # fused path will run and nothing (shortcut/FFN/drop-path)
+            # separates the layer output from the final norm: the norm then
+            # rides the redistribution kernel's stream write instead of its
+            # own read+write pass (VERDICT r4 weak #3, the b4->b16 droop).
+            fuse_final = (not cl.ffn
+                          and not ((not deterministic) and cl.drop_path > 0)
+                          and os.environ.get("RRTMIL_FUSED_FINAL_LN",
+                                             "1") != "0"
+                          and fused_crmsa_ok(cl, x, mask, length))
+            if fuse_final:
+                fs, fb = LayerNormParams(cfg.dim, name="norm")()
+                x = TransLayer(cl, name="cr_msa")(
+                    x, mask=mask, length=length,
+                    deterministic=deterministic, final_ln=(fs, fb),
+                    final_shortcut=(x_shortcut if cfg.all_shortcut
+                                    else None))
+                return x[0] if squeeze else x
+            x = TransLayer(cl, name="cr_msa")(
                 x, mask=mask, length=length, deterministic=deterministic)
 
         if cfg.all_shortcut:                 # (rrt.py:192-193)

@@ -734,3 +734,308 @@ def _rgrid_bwd(grid_side, region_size, add_residual, mm_dtype, res, g):
 
 
 crmsa_redistribute_grid.defvjp(_rgrid_fwd, _rgrid_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Final-LayerNorm-fused redistribute: the CR-MSA layer is the LAST encoder
+# layer (reference modules/rrt.py:133-202 orders (n_layers-1) R-MSA ->
+# CR-MSA -> norm), so the encoder's final LayerNorm + mask can ride the
+# redistribution's single stream write instead of paying its own
+# read+write pass.  The round-4 trace pinned that pass
+# (convert_reduce_fusion: the final LN + fp32 converts) at 0.66 ms/iter at
+# batch 16 -- the last unfused stream op and the cause of the b4->b16
+# throughput droop (VERDICT r4 weak #3).  Output is fp32: pooling and the
+# head consume fp32, so this also replaces the bf16->fp32 convert.
+# ---------------------------------------------------------------------------
+
+
+def _rgrid_ln_kernel(*refs, mm_dtype, eps: float, has_sc: bool):
+    if has_sc:
+        (x_ref, m_ref, w_ref, reps_ref, ls_ref, lb_ref, sc_ref,
+         o_ref) = refs
+    else:
+        x_ref, m_ref, w_ref, reps_ref, ls_ref, lb_ref, o_ref = refs
+    _, rs, wd, c = x_ref.shape
+    cb = wd // rs
+    p = rs * rs
+    n = rs * wd
+    out_r = jax.lax.dot_general(
+        w_ref[0, 0].astype(mm_dtype), reps_ref[0, 0].astype(mm_dtype),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, P, C)
+    out = out_r.reshape(cb, rs, rs, c).transpose(1, 0, 2, 3).reshape(n, c)
+    mflat = m_ref[0].astype(jnp.float32).reshape(n, 1)
+    out = x_ref[0].astype(jnp.float32).reshape(n, c) + out * mflat
+    if has_sc:
+        # the encoder's global shortcut (all_shortcut, rrt.py:192-193)
+        # joins the stream between the layer and the final norm
+        out = out + sc_ref[0].astype(jnp.float32).reshape(n, c)
+    mu = jnp.mean(out, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(out * out, axis=-1, keepdims=True)
+                      - mu * mu)
+    z = (out - mu) * jax.lax.rsqrt(var + eps)
+    z = z * ls_ref[0][None, :] + lb_ref[0][None, :]
+    o_ref[0] = (z * mflat).reshape(rs, wd, c).astype(o_ref.dtype)
+
+
+def _rgrid_ln_pallas(x, mask, w, reps, ln_s, ln_b, shortcut=None, *,
+                     grid_side: int,
+                     region_size: int, mm_dtype, eps: float = 1e-6,
+                     interpret: Optional[bool] = None):
+    b, n, c = x.shape
+    g, rs = grid_side, region_size
+    nrs = g // rs
+    p = rs * rs
+    k = w.shape[2]
+    cb = _grid_cb(nrs, rs, c, x.dtype.itemsize)
+    if cb is None:
+        raise ValueError(f"no legal block decomposition for grid {g}/rs "
+                         f"{rs} (callers gate on crmsa_fusable_geometry)")
+    if interpret is None:
+        interpret = env_interpret()
+    xg = x.reshape(b, g, g, c)
+    mg = mask.astype(x.dtype).reshape(b, g, g, 1)
+    wg = w.reshape(b, nrs, nrs, k, p)
+    rg = reps.reshape(b, nrs, nrs, k, c)
+
+    x_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, rs, cb * rs, 1),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 1, cb, k, p),
+                          lambda bi, i, j: (bi, i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((1, 1, cb, k, c),
+                             lambda bi, i, j: (bi, i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    has_sc = shortcut is not None
+    ins = [xg, mg, wg, rg, ln_s.astype(jnp.float32).reshape(1, c),
+           ln_b.astype(jnp.float32).reshape(1, c)]
+    in_specs = [x_spec, m_spec, w_spec, reps_spec, vec_spec, vec_spec]
+    if has_sc:
+        ins.append(shortcut.reshape(b, g, g, c))
+        in_specs.append(pl.BlockSpec((1, rs, cb * rs, c),
+                                     lambda bi, i, j: (bi, i, j, 0),
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_rgrid_ln_kernel, mm_dtype=jnp.dtype(mm_dtype),
+                          eps=eps, has_sc=has_sc),
+        grid=(b, nrs, nrs // cb),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, g, g, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nrs * nrs * k * p * c,
+            bytes_accessed=b * n * c * (x.dtype.itemsize + 4),
+            transcendentals=b * n),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(b, n, c)
+
+
+def _rgrid_ln_ref(x, mask, w, reps, ln_s, ln_b, shortcut=None, *,
+                  grid_side: int,
+                  region_size: int, mm_dtype, eps: float = 1e-6):
+    out = _redistribute_grid_ref(x, mask, w, reps, grid_side=grid_side,
+                                 region_size=region_size, add_residual=True,
+                                 mm_dtype=mm_dtype).astype(jnp.float32)
+    if shortcut is not None:
+        out = out + shortcut.astype(jnp.float32)
+    mu = jnp.mean(out, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(out * out, axis=-1, keepdims=True)
+                      - mu * mu)
+    z = (out - mu) * jax.lax.rsqrt(var + eps)
+    z = z * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    return z * mask.astype(jnp.float32)[..., None]
+
+
+def _rgrid_ln_bwd_kernel(*refs, mm_dtype, eps: float, has_sc: bool):
+    """Backward of _rgrid_ln_kernel in one pass: recomputes the post-layer
+    stream (w^T reps is tiny: k~3 representatives), runs the LayerNorm
+    backward, and emits dx plus dw/dreps and the dls/dlb accumulators.
+    With the global shortcut present its cotangent equals dx (both enter
+    the normed sum additively), so the wrapper reuses dx for it."""
+    if has_sc:
+        (x_ref, m_ref, w_ref, reps_ref, ls_ref, lb_ref, sc_ref, g_ref,
+         dx_ref, dw_ref, dreps_ref, dls_ref, dlb_ref) = refs
+    else:
+        (x_ref, m_ref, w_ref, reps_ref, ls_ref, lb_ref, g_ref,
+         dx_ref, dw_ref, dreps_ref, dls_ref, dlb_ref) = refs
+    bi, ii, jj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    _, rs, wd, c = x_ref.shape
+    cb = wd // rs
+    p = rs * rs
+    n = rs * wd
+
+    @pl.when((bi == 0) & (ii == 0) & (jj == 0))
+    def _():
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+    # ---- recompute the forward stream ----
+    out_r = jax.lax.dot_general(
+        w_ref[0, 0].astype(mm_dtype), reps_ref[0, 0].astype(mm_dtype),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, P, C)
+    red = out_r.reshape(cb, rs, rs, c).transpose(1, 0, 2, 3).reshape(n, c)
+    mflat = m_ref[0].astype(jnp.float32).reshape(n, 1)
+    out = x_ref[0].astype(jnp.float32).reshape(n, c) + red * mflat
+    if has_sc:
+        out = out + sc_ref[0].astype(jnp.float32).reshape(n, c)
+    mu = jnp.mean(out, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(out * out, axis=-1, keepdims=True)
+                      - mu * mu)
+    rstd = jax.lax.rsqrt(var + eps)
+    zhat = (out - mu) * rstd
+    ls = ls_ref[0][None, :]
+
+    # ---- LayerNorm backward (y = LN(out) * mask) ----
+    gym = g_ref[0].astype(jnp.float32).reshape(n, c) * mflat
+    dls_ref[...] += jnp.sum(gym * zhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(gym, axis=0, keepdims=True)
+    dzh = gym * ls
+    m1 = jnp.mean(dzh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dzh * zhat, axis=-1, keepdims=True)
+    g_out = rstd * (dzh - m1 - zhat * m2)                # d(out)
+    dx_ref[0] = g_out.reshape(rs, wd, c).astype(dx_ref.dtype)
+
+    # ---- redistribution backward (d redist = g_out * mask) ----
+    gm = (g_out * mflat).astype(mm_dtype)
+    g_r = gm.reshape(rs, cb, rs, c).transpose(1, 0, 2, 3).reshape(cb, p, c)
+    dw_ref[0, 0] = jax.lax.dot_general(
+        reps_ref[0, 0].astype(mm_dtype), g_r, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, P)
+    dreps_ref[0, 0] = jax.lax.dot_general(
+        w_ref[0, 0].astype(mm_dtype), g_r, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (cb, k, C)
+
+
+def _rgrid_ln_bwd_pallas(x, mask, w, reps, ln_s, ln_b, g, shortcut=None, *,
+                         grid_side: int,
+                         region_size: int, mm_dtype, eps: float = 1e-6,
+                         interpret: Optional[bool] = None):
+    b, n, c = x.shape
+    gs, rs = grid_side, region_size
+    nrs = gs // rs
+    p = rs * rs
+    k = w.shape[2]
+    cb = _grid_cb(nrs, rs, c, x.dtype.itemsize)
+    if interpret is None:
+        interpret = env_interpret()
+    xg = x.reshape(b, gs, gs, c)
+    gg = g.astype(jnp.float32).reshape(b, gs, gs, c)
+    mg = mask.astype(x.dtype).reshape(b, gs, gs, 1)
+    wg = w.reshape(b, nrs, nrs, k, p)
+    rg = reps.reshape(b, nrs, nrs, k, c)
+
+    x_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, rs, cb * rs, c), lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, rs, cb * rs, 1),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 1, cb, k, p),
+                          lambda bi, i, j: (bi, i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    reps_spec = pl.BlockSpec((1, 1, cb, k, c),
+                             lambda bi, i, j: (bi, i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    has_sc = shortcut is not None
+    ins = [xg, mg, wg, rg, ln_s.astype(jnp.float32).reshape(1, c),
+           ln_b.astype(jnp.float32).reshape(1, c)]
+    in_specs = [x_spec, m_spec, w_spec, reps_spec, vec_spec, vec_spec]
+    if has_sc:
+        ins.append(shortcut.reshape(b, gs, gs, c))
+        in_specs.append(pl.BlockSpec((1, rs, cb * rs, c),
+                                     lambda bi, i, j: (bi, i, j, 0),
+                                     memory_space=pltpu.VMEM))
+    ins.append(gg)
+    in_specs.append(g_spec)
+    dx, dw, dreps, dls, dlb = pl.pallas_call(
+        functools.partial(_rgrid_ln_bwd_kernel,
+                          mm_dtype=jnp.dtype(mm_dtype), eps=eps,
+                          has_sc=has_sc),
+        grid=(b, nrs, nrs // cb),
+        in_specs=in_specs,
+        out_specs=(x_spec, w_spec, reps_spec, vec_spec, vec_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, gs, gs, c), x.dtype),
+                   jax.ShapeDtypeStruct((b, nrs, nrs, k, p), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nrs, nrs, k, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * nrs * nrs * k * p * c,
+            bytes_accessed=b * n * c * (2 * x.dtype.itemsize + 4),
+            transcendentals=b * n),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+    nr = nrs * nrs
+    return (dx.reshape(b, n, c), dw.reshape(b, nr, k, p),
+            dreps.reshape(b, nr, k, c),
+            dls.reshape(ln_s.shape).astype(ln_s.dtype),
+            dlb.reshape(ln_b.shape).astype(ln_b.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def crmsa_redistribute_grid_ln(x, mask, w, reps, ln_s, ln_b, shortcut,
+                               grid_side, region_size,
+                               mm_dtype=jnp.bfloat16):
+    """Redistribution + residual (+ optional global shortcut) + the
+    ENCODER-FINAL LayerNorm + mask in one kernel; returns the fp32
+    encoder output stream (pooling input).  The layer residual is always
+    applied (the final norm follows the full layer)."""
+    return _rgrid_ln_pallas(x, mask, w, reps, ln_s, ln_b, shortcut,
+                            grid_side=grid_side, region_size=region_size,
+                            mm_dtype=mm_dtype)
+
+
+def _rgrid_ln_fwd(x, mask, w, reps, ln_s, ln_b, shortcut, grid_side,
+                  region_size, mm_dtype):
+    out = _rgrid_ln_pallas(x, mask, w, reps, ln_s, ln_b, shortcut,
+                           grid_side=grid_side, region_size=region_size,
+                           mm_dtype=mm_dtype)
+    return out, (x, mask, w, reps, ln_s, ln_b, shortcut)
+
+
+def _rgrid_ln_bwd(grid_side, region_size, mm_dtype, res, g):
+    x, mask, w, reps, ln_s, ln_b, shortcut = res
+    nrs = grid_side // region_size
+    if (os.environ.get("RRTMIL_FUSED_CRMSA_BWD", "1") != "0"
+            and crmsa_fusable_geometry(nrs, region_size, x.shape[-1],
+                                       x.dtype.itemsize)):
+        dx, dw, dreps, dls, dlb = _rgrid_ln_bwd_pallas(
+            x, mask, w, reps, ln_s, ln_b, g, shortcut, grid_side=grid_side,
+            region_size=region_size, mm_dtype=mm_dtype)
+        dsc = None if shortcut is None else dx.astype(shortcut.dtype)
+        return (dx, None, dw.astype(w.dtype), dreps.astype(reps.dtype),
+                dls, dlb, dsc)
+    if shortcut is None:
+        _, vjp = jax.vjp(
+            lambda x_, w_, r_, ls_, lb_: _rgrid_ln_ref(
+                x_, mask, w_, r_, ls_, lb_, None, grid_side=grid_side,
+                region_size=region_size, mm_dtype=mm_dtype),
+            x, w, reps, ln_s, ln_b)
+        dx, dw, dreps, dls, dlb = vjp(g)
+        return dx, None, dw, dreps, dls, dlb, None
+    _, vjp = jax.vjp(
+        lambda x_, w_, r_, ls_, lb_, sc_: _rgrid_ln_ref(
+            x_, mask, w_, r_, ls_, lb_, sc_, grid_side=grid_side,
+            region_size=region_size, mm_dtype=mm_dtype),
+        x, w, reps, ln_s, ln_b, shortcut)
+    dx, dw, dreps, dls, dlb, dsc = vjp(g)
+    return dx, None, dw, dreps, dls, dlb, dsc
+
+
+crmsa_redistribute_grid_ln.defvjp(_rgrid_ln_fwd, _rgrid_ln_bwd)
